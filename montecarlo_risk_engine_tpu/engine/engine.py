@@ -1,0 +1,130 @@
+"""Monte Carlo path engine: one ``lax.scan`` over a static step schedule.
+
+Counterpart of reference ``src/engine/engine.py`` (MonteCarloEngine,
+engine.py:8-123), re-designed for XLA:
+
+  * The reference's Python ``for t_now in timeline`` loop with per-step
+    ``torch.randn`` (engine.py:35-123) becomes a single compiled
+    ``lax.scan`` over timeline points with an inner ``fori_loop`` over
+    substeps.  The whole trajectory is traced once; there is no host round
+    trip per step.
+  * Global torch seeds 42/43 (engine.py:25) become threefry phase keys
+    (see rng.py); normals/uniforms are generated *inside* the scan from
+    counter-derived keys, so results are independent of device count and
+    evaluation order.
+  * The Cholesky cache keyed by (scheme, dt) (model.py:50-73) disappears:
+    for EULER/MILSTEIN/QE the correlation factor is computed once from traced
+    params and closed over by the scan; for ANALYTICAL the per-substep
+    covariance factor is a (d×d) cholesky — negligible next to the [N,d]
+    noise work — computed inline so it stays differentiable.
+  * Zero-length intervals (timeline point at the calibration date) are
+    handled with a ``where`` guard on a safe dt, keeping the scan body
+    branch-free.
+
+Output: states at every simulation timeline point, shape
+``[num_points, num_paths, state_dim]``, sharded over paths when a sharding is
+supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_risk_engine_tpu import rng
+from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
+
+
+def build_step_schedule(calibration_date: float, timeline: Sequence[float]):
+    """Per-point (t_prev, interval_dt) arrays from a static timeline."""
+    t_prev_list = []
+    dt_list = []
+    t_prev = float(calibration_date)
+    for t in timeline:
+        t = float(t)
+        t_prev_list.append(t_prev)
+        dt_list.append(t - t_prev)
+        t_prev = t
+    return asarray(t_prev_list), asarray(dt_list)
+
+
+def simulate_paths(
+    model,
+    params,
+    scheme: SimulationScheme,
+    timeline: Sequence[float],
+    num_paths: int,
+    num_steps: int,
+    phase: int,
+    root_seed: int = 0,
+    path_sharding=None,
+):
+    """Simulate states at each timeline point.
+
+    phase: rng.PHASE_PRESIM or rng.PHASE_MAINSIM (reference engine.py:25).
+    Returns [T, num_paths, state_dim].
+    """
+    dtype = real_dtype()
+    num_points = len(timeline)
+    if num_points == 0:
+        return jnp.zeros((0, num_paths, model.state_dim), dtype=dtype)
+
+    t_prev_arr, dt_arr = build_step_schedule(model.calibration_date, timeline)
+    phase_k = rng.phase_key(rng.root_key(root_seed), phase)
+    sim_dim = model.simulation_dim
+    needs_uniform = model.uses_uniforms(scheme)
+
+    state0 = model.init_state(params, num_paths).astype(dtype)
+    if path_sharding is not None:
+        state0 = jax.lax.with_sharding_constraint(state0, path_sharding)
+
+    if scheme != SimulationScheme.ANALYTICAL:
+        chol_const = model.noise_transform(params, scheme, None).astype(dtype)
+    else:
+        chol_const = None
+
+    def substep(k, carry, point_idx, t_prev, dt_interval):
+        state = carry
+        dt = dt_interval / num_steps
+        live = dt_interval > 0.0
+        dt_safe = jnp.where(live, dt, 1.0)
+        t1 = t_prev + k * dt_safe
+
+        counter = point_idx * num_steps + k
+        z = rng.normals(rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL), (num_paths, sim_dim), dtype)
+        if path_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, path_sharding)
+        if scheme == SimulationScheme.ANALYTICAL:
+            chol = jnp.linalg.cholesky(
+                model.covariance_matrix(params, dt_safe).astype(dtype)
+            )
+        else:
+            chol = chol_const
+        noise = z @ chol.T
+
+        uniform = None
+        if needs_uniform:
+            uniform = rng.uniforms(
+                rng.step_key(phase_k, counter, rng.PURPOSE_UNIFORM), (num_paths,), dtype
+            )
+
+        new_state = model.step(params, scheme, t1, t1 + dt_safe, state, noise, uniform)
+        return jnp.where(live, new_state, state)
+
+    def point_body(state, xs):
+        point_idx, t_prev, dt_interval = xs
+        state = jax.lax.fori_loop(
+            0,
+            num_steps,
+            lambda k, st: substep(k, st, point_idx, t_prev, dt_interval),
+            state,
+        )
+        if path_sharding is not None:
+            state = jax.lax.with_sharding_constraint(state, path_sharding)
+        return state, state
+
+    xs = (jnp.arange(num_points), t_prev_arr, dt_arr)
+    _, states = jax.lax.scan(point_body, state0, xs)
+    return states

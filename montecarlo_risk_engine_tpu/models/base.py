@@ -1,0 +1,122 @@
+"""Model base protocol: pure, jit-safe step functions over path state.
+
+Counterpart of the reference's ``src/models/model.py`` (Model base,
+model.py:5-141) re-designed for XLA:
+
+  * **Parameters are explicit.**  Every method takes ``params`` — a flat tuple
+    of 0-d jnp arrays in a documented order — instead of reading mutable
+    ``model_params`` tensors.  ``jax.grad`` differentiates the whole pipeline
+    with respect to this tuple (replacing torch ``requires_grad_`` AAD,
+    model.py:83-90).
+  * **Steps are pure functions** ``(params, t1, t2, state, noise, uniform) ->
+    state`` suitable for ``lax.scan`` — no in-place mutation, no Python-level
+    RNG (reference steps: model.py:92-133).
+  * **Correlation is assembled inside the trace.**  The reference caches a
+    Cholesky factor keyed by (scheme, dt) host-side (model.py:50-73); here the
+    factor is computed from traced params (so it carries gradients) and XLA
+    hoists loop-invariant factors out of the scan automatically.
+  * Times ``t1``/``t2`` may be traced scalars: any time-dependent market
+    objects (forward curves, hazard buckets) are implemented with device-side
+    interpolation rather than host lookups.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
+from montecarlo_risk_engine_tpu.requests import AtomicRequest
+
+
+class Model:
+    def __init__(
+        self,
+        calibration_date: float,
+        simulation_dim: int = 1,
+        state_dim: int = 1,
+        asset_ids: Optional[Sequence[str]] = None,
+    ):
+        self.calibration_date = float(calibration_date)
+        self.asset_ids: List[str] = list(asset_ids) if asset_ids else [""]
+        self.num_assets = len(self.asset_ids)
+        self.simulation_dim = simulation_dim
+        self.state_dim = state_dim
+        # Mirrors reference ``perform_smoothing`` — enabled alongside
+        # differentiation so discontinuous payoffs/branches become fuzzy
+        # (model.py:83-90).  Static: selects what gets traced.
+        self.perform_smoothing = False
+
+    # -- parameters ---------------------------------------------------------
+
+    def initial_params(self) -> Tuple:
+        """Flat tuple of 0-d arrays, in the order of get_model_param_names()."""
+        raise NotImplementedError
+
+    def get_model_param_names(self) -> List[str]:
+        raise NotImplementedError
+
+    def requires_grad(self) -> None:
+        """Enable payoff smoothing (differentiation itself needs no flags in jax)."""
+        self.perform_smoothing = True
+
+    # -- state / noise ------------------------------------------------------
+
+    def init_state(self, params, num_paths: int):
+        """Initial state, shape [num_paths, state_dim]."""
+        raise NotImplementedError
+
+    def correlation_matrix(self, params, scheme: SimulationScheme):
+        """Driver-noise correlation for EULER/MILSTEIN/QE schemes
+        (reference model.py:75-77 default: identity)."""
+        return jnp.eye(self.simulation_dim, dtype=real_dtype())
+
+    def covariance_matrix(self, params, delta_t):
+        """One-step noise covariance for the ANALYTICAL scheme
+        (reference model.py:79-81 default: identity * dt)."""
+        return jnp.eye(self.simulation_dim, dtype=real_dtype()) * delta_t
+
+    def noise_transform(self, params, scheme: SimulationScheme, delta_t):
+        """Matrix L with correlated increments = z @ L.T
+        (reference generate_correlated_randn, model.py:38-48)."""
+        if scheme == SimulationScheme.ANALYTICAL:
+            return jnp.linalg.cholesky(self.covariance_matrix(params, delta_t))
+        return jnp.linalg.cholesky(self.correlation_matrix(params, scheme))
+
+    def uses_uniforms(self, scheme: SimulationScheme) -> bool:
+        """Whether step() consumes a per-path uniform draw (Heston QE only)."""
+        return False
+
+    # -- stepping -----------------------------------------------------------
+
+    def step(self, params, scheme: SimulationScheme, t1, t2, state, corr_noise, uniform=None):
+        if scheme == SimulationScheme.ANALYTICAL:
+            return self.step_analytical(params, t1, t2, state, corr_noise)
+        if scheme == SimulationScheme.EULER:
+            return self.step_euler(params, t1, t2, state, corr_noise)
+        if scheme == SimulationScheme.MILSTEIN:
+            return self.step_milstein(params, t1, t2, state, corr_noise)
+        if scheme == SimulationScheme.QE:
+            return self.step_qe(params, t1, t2, state, corr_noise, uniform)
+        raise NotImplementedError(f"Scheme {scheme} not supported by {type(self).__name__}")
+
+    def step_analytical(self, params, t1, t2, state, corr_noise):
+        raise NotImplementedError(f"{type(self).__name__}: analytical step not implemented")
+
+    def step_euler(self, params, t1, t2, state, corr_noise):
+        raise NotImplementedError(f"{type(self).__name__}: Euler step not implemented")
+
+    def step_milstein(self, params, t1, t2, state, corr_noise):
+        raise NotImplementedError(f"{type(self).__name__}: Milstein step not implemented")
+
+    def step_qe(self, params, t1, t2, state, corr_noise, uniform):
+        raise NotImplementedError(f"{type(self).__name__}: QE step not implemented")
+
+    # -- observables --------------------------------------------------------
+
+    def resolve_request(self, params, req: AtomicRequest, asset_id: str, state):
+        """Resolve one observable from the state at the request's time point
+        (reference model.py:135-141).  Returns [N] or a 0-d array when the
+        observable is state-independent."""
+        raise NotImplementedError

@@ -1,0 +1,94 @@
+"""Single-asset Black–Scholes (GBM) model.
+
+Counterpart of reference ``src/models/black_scholes.py`` (params/steps/
+request resolution at black_scholes.py:22-111).  State = [S].
+Params (reference order): spot, volatility, rate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
+from montecarlo_risk_engine_tpu.models.base import Model
+from montecarlo_risk_engine_tpu.requests import AtomicRequest, AtomicRequestType
+
+
+class BlackScholesModel(Model):
+    def __init__(
+        self,
+        calibration_date: float,
+        spot: float,
+        rate: float,
+        sigma: float,
+        asset_id: str | None = None,
+    ):
+        super().__init__(
+            calibration_date=calibration_date,
+            asset_ids=[asset_id] if asset_id else None,
+        )
+        self._spot0 = float(spot)
+        self._sigma0 = float(sigma)
+        self._rate0 = float(rate)
+
+    # params = (spot, sigma, rate) — reference black_scholes.py:22-26
+    def initial_params(self):
+        return (asarray(self._spot0), asarray(self._sigma0), asarray(self._rate0))
+
+    def get_model_param_names(self):
+        return ["spot", "volatility", "rate"]
+
+    @staticmethod
+    def _unpack(params):
+        spot, sigma, rate = params
+        return spot, sigma, rate
+
+    def init_state(self, params, num_paths):
+        spot, _, _ = self._unpack(params)
+        return jnp.broadcast_to(spot, (num_paths, 1)).astype(real_dtype())
+
+    def covariance_matrix(self, params, delta_t):
+        _, sigma, _ = self._unpack(params)
+        return (sigma * sigma * delta_t).reshape(1, 1)
+
+    def step_analytical(self, params, t1, t2, state, corr_noise):
+        # S <- S exp(r dt - 0.5 sigma^2 dt + eta), eta ~ N(0, sigma^2 dt)
+        # (reference black_scholes.py:50-67; noise already carries sqrt(dt) sigma)
+        _, sigma, rate = self._unpack(params)
+        dt = t2 - t1
+        return state * jnp.exp(rate * dt - 0.5 * sigma * sigma * dt + corr_noise)
+
+    def step_euler(self, params, t1, t2, state, corr_noise):
+        _, sigma, rate = self._unpack(params)
+        dt = t2 - t1
+        return state + rate * state * dt + sigma * state * jnp.sqrt(dt) * corr_noise
+
+    def step_milstein(self, params, t1, t2, state, corr_noise):
+        # Milstein for GBM: Euler + 0.5 sigma^2 S (dW^2 - dt).
+        # The reference declares MILSTEIN but never implements it (quirk Q1).
+        _, sigma, rate = self._unpack(params)
+        dt = t2 - t1
+        dw = jnp.sqrt(dt) * corr_noise
+        return (
+            state
+            + rate * state * dt
+            + sigma * state * dw
+            + 0.5 * sigma * sigma * state * (dw * dw - dt)
+        )
+
+    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+        # Reference black_scholes.py:87-111 — constant short rate closed forms.
+        _, _, rate = self._unpack(params)
+        kind = req.request_type
+        if kind == AtomicRequestType.SPOT:
+            return state[:, 0]
+        if kind == AtomicRequestType.DISCOUNT_FACTOR:
+            return jnp.exp(-rate * (req.time1 - self.calibration_date))
+        if kind == AtomicRequestType.FORWARD_RATE:
+            return jnp.exp(rate * (req.time2 - req.time1))
+        if kind == AtomicRequestType.LIBOR_RATE:
+            accrual = req.time2 - req.time1
+            return (jnp.exp(rate * accrual) - 1.0) / accrual
+        if kind == AtomicRequestType.NUMERAIRE:
+            return jnp.exp(rate * (req.time1 - self.calibration_date))
+        raise NotImplementedError(f"Request type {kind} not supported by BlackScholesModel.")

@@ -1,0 +1,112 @@
+"""Vasicek one-factor short-rate model (exact OU discretisation).
+
+Counterpart of reference ``src/models/vasicek.py`` (vasicek.py:24-156).
+State = [r, log_B] with log_B the left-Riemann numeraire accumulator
+(∫ r dt, vasicek.py:79-80 — quirk Q3, preserved deliberately so exposure
+semantics match the reference).
+Params (reference order): rate, volatility, mean, mean_reversion_speed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from montecarlo_risk_engine_tpu.config import asarray, real_dtype
+from montecarlo_risk_engine_tpu.models.base import Model
+from montecarlo_risk_engine_tpu.requests import AtomicRequest, AtomicRequestType
+
+
+class VasicekModel(Model):
+    def __init__(
+        self,
+        calibration_date: float,
+        rate: float,
+        mean: float,
+        mean_reversion_speed: float,
+        volatility: float,
+        asset_id: str | None = None,
+    ):
+        super().__init__(
+            calibration_date=calibration_date,
+            state_dim=2,
+            asset_ids=[asset_id],
+        )
+        self._rate0 = float(rate)
+        self._vol0 = float(volatility)
+        self._mean0 = float(mean)
+        self._speed0 = float(mean_reversion_speed)
+
+    def initial_params(self):
+        return tuple(asarray(v) for v in (self._rate0, self._vol0, self._mean0, self._speed0))
+
+    def get_model_param_names(self):
+        return ["rate", "volatility", "mean", "mean_reversion_speed"]
+
+    @staticmethod
+    def _unpack(params):
+        rate, vol, mean, speed = params
+        return rate, vol, mean, speed
+
+    def init_state(self, params, num_paths):
+        rate, *_ = self._unpack(params)
+        r0 = jnp.broadcast_to(rate, (num_paths,))
+        return jnp.stack([r0, jnp.zeros_like(r0)], axis=-1)
+
+    def covariance_matrix(self, params, delta_t):
+        # Exact conditional variance of the OU increment (vasicek.py:52-60).
+        _, sigma, _, a = self._unpack(params)
+        decay = jnp.exp(-a * delta_t)
+        variance = (sigma * sigma / (2.0 * a)) * (1.0 - decay * decay)
+        return variance.reshape(1, 1)
+
+    def step_analytical(self, params, t1, t2, state, corr_noise):
+        # r_{t+dt} = theta + (r_t - theta) e^{-a dt} + eta (exact),
+        # log_B += r_t dt (left Riemann) — vasicek.py:62-86.
+        _, _, theta, a = self._unpack(params)
+        dt = t2 - t1
+        r = state[:, 0:1]
+        log_b = state[:, 1:2] + r * dt
+        r_next = theta + (r - theta) * jnp.exp(-a * dt) + corr_noise
+        return jnp.concatenate([r_next, log_b], axis=-1)
+
+    def step_euler(self, params, t1, t2, state, corr_noise):
+        _, sigma, theta, a = self._unpack(params)
+        dt = t2 - t1
+        r = state[:, 0:1]
+        log_b = state[:, 1:2] + r * dt
+        r_next = r + a * (theta - r) * dt + sigma * jnp.sqrt(dt) * corr_noise
+        return jnp.concatenate([r_next, log_b], axis=-1)
+
+    # Milstein == Euler for constant diffusion.
+    step_milstein = step_euler
+
+    def bond_price(self, params, t1, t2, rate_state):
+        """Closed-form zero bond P(t1,t2 | r=rate_state) (vasicek.py:114-128)."""
+        _, sigma, theta, a = self._unpack(params)
+        dt = asarray(t2) - asarray(t1)
+        B = (1.0 - jnp.exp(-a * dt)) / a
+        alpha = (theta - sigma * sigma / (2.0 * a * a)) * (B - dt) - (sigma * sigma / (4.0 * a)) * B * B
+        return jnp.exp(alpha) * jnp.exp(-B * rate_state)
+
+    # Back-compat alias mirroring the reference method name.
+    def compute_bond_price(self, params, t1, t2, rate_state):
+        return self.bond_price(params, t1, t2, rate_state)
+
+    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+        # vasicek.py:130-156
+        kind = req.request_type
+        if kind == AtomicRequestType.SPOT:
+            return state[:, 0]
+        if kind == AtomicRequestType.DISCOUNT_FACTOR:
+            return self.bond_price(params, self.calibration_date, req.time1, state[:, 0])
+        if kind == AtomicRequestType.FORWARD_RATE:
+            # Reference returns the conditional bond price P(t1,t2) here
+            # (vasicek.py:141-144) — the Bond product consumes it as a
+            # discount factor.
+            return self.bond_price(params, req.time1, req.time2, state[:, 0])
+        if kind == AtomicRequestType.LIBOR_RATE:
+            p = self.bond_price(params, req.time1, req.time2, state[:, 0])
+            return (1.0 / p - 1.0) / (req.time2 - req.time1)
+        if kind == AtomicRequestType.NUMERAIRE:
+            return jnp.exp(state[:, 1])
+        raise NotImplementedError(f"Request type {kind} not supported by VasicekModel.")

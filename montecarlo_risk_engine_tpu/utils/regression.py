@@ -1,0 +1,68 @@
+"""Regression bases for Longstaff–Schwartz continuation values.
+
+Counterpart of the reference's ``src/maths/regression.py`` (Vandermonde
+polynomial basis, regression.py:10-15).
+
+TPU-native solve strategy: the reference calls ``torch.linalg.lstsq(A, Y)``
+once per regression date (controller.py:373).  Here the solve is expressed via
+normal equations — per-shard Gram accumulation ``psum(AᵀA), psum(AᵀY)``
+followed by a tiny local solve — which is mathematically identical for
+full-rank bases, differentiable, and turns a tall-skinny lstsq into one
+matmul + a (deg×deg) solve that XLA fuses into the surrounding scan.  A small
+Tikhonov term guards rank deficiency (e.g. regressing on a constant spot).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class RegressionFunction:
+    def __init__(self, degree: int):
+        self.degree = degree
+
+    def get_degree(self) -> int:
+        """Number of basis columns (reference regression.py:7-8)."""
+        return self.degree + 1
+
+    def get_regression_matrix(self, explanatory):
+        raise NotImplementedError
+
+
+class PolynomialRegression(RegressionFunction):
+    """Monomial basis [1, x, x^2, ...] (reference regression.py:10-15)."""
+
+    def get_regression_matrix(self, explanatory):
+        x = jnp.asarray(explanatory)
+        return jnp.stack([x**k for k in range(self.degree + 1)], axis=1)
+
+
+# Alias matching the reference's (misspelled) public name so user scripts port 1:1.
+PolyomialRegression = PolynomialRegression
+
+
+def fit_least_squares(A, Y, ridge_rel: float = 1e-10):
+    """Solve ``argmin ||A c - Y||²`` via normal equations.
+
+    A: [N, deg] basis matrix; Y: [N, S] targets (one column per hypothetical
+    product state — the reference solves all states in one call,
+    controller.py:373).  Returns coeffs [S, deg].
+
+    Under a sharded paths axis, the matmuls below reduce over the sharded
+    dimension, so XLA inserts psum collectives automatically — this is the
+    distributed-LSM formulation from SURVEY.md §5.8.  A scale-relative
+    Tikhonov term keeps degenerate bases (e.g. constant explanatory at t=0)
+    well-posed and differentiable; predicted continuation values agree with
+    the reference's min-norm lstsq in that limit.
+    """
+    A = jnp.asarray(A)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    gram = A.T @ A
+    deg = A.shape[1]
+    scale = jnp.trace(gram) / deg
+    gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=A.dtype)
+    rhs = A.T @ Y
+    coeffs = jnp.linalg.solve(gram, rhs)
+    return coeffs.T
