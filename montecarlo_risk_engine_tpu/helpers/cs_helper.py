@@ -71,7 +71,11 @@ class CSHelper:
                 premium += deltas[k] * dfs[k] * s_k + accrual
                 protection += (1.0 - recovery_rate) * dfs[k] * (s_prev - s_k)
                 s_prev = s_k
-            k_start = bucket_end_idx[i]
+            # next bucket starts strictly after this maturity's payment
+            # (the reference re-visits the boundary payment and measures
+            # default mass from the bucket start — we use the standard
+            # per-interval convention; both bootstrap/price consistently).
+            k_start = bucket_end_idx[i] + 1
         return premium, protection
 
     def bootstrap_hazards(

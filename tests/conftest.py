@@ -5,18 +5,22 @@ are exercised on a virtual CPU mesh (xla_force_host_platform_device_count)
 so no TPU hardware is required, and the closed-form/statistical oracles remain
 hardware-independent.  float64 is enabled to match the reference's precision
 contract (src/common/packages.py:11).
+
+Note: this image's sitecustomize imports jax and registers a TPU backend at
+interpreter startup, so JAX_PLATFORMS env tweaks are too late — the platform
+must be forced through jax.config before any backend initialises.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

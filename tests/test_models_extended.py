@@ -1,0 +1,141 @@
+"""Tests for CIR++, Schwartz-2F, Hull-White and the hybrid ModelConfig.
+
+Oracles follow SURVEY.md §4: deterministic CIR++ tracks the market hazard
+curve (test_cirpp.py:8-44 pattern), curve models reprice their input curves,
+and hybrid correlation blocks are recovered empirically.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_risk_engine_tpu.config import SimulationScheme
+from montecarlo_risk_engine_tpu import rng
+from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+from montecarlo_risk_engine_tpu.helpers.cs_helper import CSHelper, probability_of_default
+from montecarlo_risk_engine_tpu.models.black_scholes import BlackScholesModel
+from montecarlo_risk_engine_tpu.models.cirpp import CIRPPModel
+from montecarlo_risk_engine_tpu.models.hull_white import HullWhiteModel
+from montecarlo_risk_engine_tpu.models.hybrid import ModelConfig
+from montecarlo_risk_engine_tpu.models.schwartz_two_factor import SchwartzTwoFactorModel
+from montecarlo_risk_engine_tpu.models.vasicek import VasicekModel
+
+HAZARDS = {1.0: 0.02, 2.0: 0.025, 3.0: 0.03, 5.0: 0.035}
+
+
+def test_probability_of_default_piecewise():
+    pd = probability_of_default(jnp.asarray([0.02, 0.03]), jnp.asarray([1.0, 2.0]), 1.5)
+    assert abs(float(pd) - (1.0 - np.exp(-(0.02 * 1.0 + 0.03 * 0.5)))) < 1e-12
+    # flat extension beyond the last tenor
+    pd = probability_of_default(jnp.asarray([0.02, 0.03]), jnp.asarray([1.0, 2.0]), 3.0)
+    assert abs(float(pd) - (1.0 - np.exp(-(0.02 + 0.03 + 0.03)))) < 1e-12
+
+
+def test_cds_bootstrap_roundtrip():
+    # flat spread with zero recovery should bootstrap hazards close to spread
+    helper = CSHelper()
+    payment_days = np.arange(0.25, 5.01, 0.25)
+    dfs = np.exp(-0.02 * payment_days)
+    maturities = np.array([1.0, 3.0, 5.0])
+    spreads = [0.02, 0.02, 0.02]
+    hz = helper.bootstrap_hazards(spreads, maturities, payment_days, dfs, recovery_rate=0.0)
+    assert all(abs(h - 0.02) < 2e-3 for h in hz)
+
+
+def test_cirpp_deterministic_tracks_market_curve():
+    model = CIRPPModel(0.0, "cp", HAZARDS, kappa=0.5, theta=0.03, volatility=0.05, y0=0.02,
+                       deterministic=True)
+    params = model.initial_params()
+    timeline = [0.5, 1.0, 2.0, 4.0]
+    states = simulate_paths(model, params, SimulationScheme.EULER, timeline, 100, 50, rng.PHASE_MAINSIM)
+    for idx, t in enumerate(timeline):
+        surv = float(jnp.exp(-states[idx, 0, 1]))
+        market = 1.0 - float(probability_of_default(model.hazard_rates, model.tenors, t))
+        assert abs(surv - market) < 2e-3, (t, surv, market)
+
+
+def test_cirpp_survival_martingale():
+    # E[exp(-int lambda)] should match the market survival curve by construction
+    model = CIRPPModel(0.0, "cp", HAZARDS, kappa=0.5, theta=0.03, volatility=0.05, y0=0.03)
+    params = model.initial_params()
+    states = simulate_paths(model, params, SimulationScheme.EULER, [1.0, 3.0], 100_000, 64, rng.PHASE_MAINSIM)
+    for idx, t in enumerate([1.0, 3.0]):
+        surv_mc = float(jnp.mean(jnp.exp(-states[idx, :, 1])))
+        market = 1.0 - float(probability_of_default(model.hazard_rates, model.tenors, t))
+        assert abs(surv_mc / market - 1.0) < 5e-3, (t, surv_mc, market)
+
+
+def test_cirpp_conditional_survival_consistency():
+    # tower property: E[ e^{-logB(t)} * S(t,T|y_t) ] ~ S_market(0,T)
+    model = CIRPPModel(0.0, "cp", HAZARDS, kappa=0.5, theta=0.03, volatility=0.05, y0=0.03)
+    params = model.initial_params()
+    states = simulate_paths(model, params, SimulationScheme.EULER, [1.0], 100_000, 64, rng.PHASE_MAINSIM)
+    y = states[0, :, 0]
+    log_b = states[0, :, 1]
+    cond = model.survival_probability(params, 1.0, 3.0, y)
+    joint = float(jnp.mean(jnp.exp(-log_b) * cond))
+    market = 1.0 - float(probability_of_default(model.hazard_rates, model.tenors, 3.0))
+    assert abs(joint / market - 1.0) < 1e-2
+
+
+def test_schwartz_two_factor_reprices_curve():
+    curve_t = [0.0, 1.0, 2.0, 5.0]
+    curve_v = [20.0, 22.0, 23.0, 25.0]
+    model = SchwartzTwoFactorModel(0.0, curve_t, curve_v, rate=0.02,
+                                   short_term_mean_reversion=1.2, short_term_vol=0.3,
+                                   long_term_drift=0.0, long_term_vol=0.15, rho=0.3)
+    params = model.initial_params()
+    states = simulate_paths(model, params, SimulationScheme.ANALYTICAL, [1.0, 2.0], 200_000, 1, rng.PHASE_MAINSIM)
+    spots = np.exp(np.asarray(states[:, :, 0]))
+    # E[S_t] = F0(t) e^{0.5 Var[x+y]} ... with mu_long=0 the median matches F0(t)
+    med = np.median(spots, axis=1)
+    assert abs(med[0] / 22.0 - 1.0) < 1e-2
+    assert abs(med[1] / 23.0 - 1.0) < 1e-2
+
+
+def test_hull_white_reprices_discount_curve():
+    times = [0.0, 1.0, 2.0, 5.0, 10.0]
+    dfs = [1.0, 0.97, 0.94, 0.85, 0.70]
+    model = HullWhiteModel(0.0, times, dfs, volatility=0.01, mean_reversion=0.3)
+    params = model.initial_params()
+    states = simulate_paths(model, params, SimulationScheme.ANALYTICAL, [1.0, 2.0], 200_000, 8, rng.PHASE_MAINSIM)
+    for idx, (t, df) in enumerate([(1.0, 0.97), (2.0, 0.94)]):
+        numeraire = jnp.exp(states[idx, :, 1])
+        df_mc = float(jnp.mean(1.0 / numeraire))
+        assert abs(df_mc / df - 1.0) < 5e-3, (t, df_mc, df)
+    # conditional bonds reprice the curve through the expectation of P(t,T)/B_t
+    p_cond = model.bond_price(params, 2.0, 5.0, states[1, :, 0])
+    df_5 = float(jnp.mean(p_cond / jnp.exp(states[1, :, 1])))
+    assert abs(df_5 / 0.85 - 1.0) < 6e-3
+
+
+def test_hybrid_block_correlation():
+    bs1 = BlackScholesModel(0.0, spot=100.0, rate=0.02, sigma=0.2, asset_id="eq1")
+    bs2 = BlackScholesModel(0.0, spot=50.0, rate=0.02, sigma=0.3, asset_id="eq2")
+    vas = VasicekModel(0.0, rate=0.03, mean=0.04, mean_reversion_speed=0.5, volatility=0.01,
+                       asset_id="ir")
+    inter = [np.array([[0.7]]), np.array([[0.0]]), np.array([[0.0]])]
+    hybrid = ModelConfig([bs1, bs2, vas], inter_asset_correlation_matrix=inter)
+    params = hybrid.initial_params()
+    assert hybrid.get_model_param_names()[0] == "eq1.spot"
+    assert len(params) == 3 + 3 + 4
+
+    states = simulate_paths(hybrid, params, SimulationScheme.EULER, [1.0], 200_000, 16, rng.PHASE_MAINSIM)
+    s1 = np.log(np.asarray(states[0, :, 0]))
+    s2 = np.log(np.asarray(states[0, :, 1]))
+    emp = np.corrcoef(s1, s2)[0, 1]
+    assert abs(emp - 0.7) < 1.5e-2
+    # rates block evolved too
+    r = np.asarray(states[0, :, 2])
+    assert r.std() > 1e-4
+
+
+def test_hybrid_analytic_bs_pair_covariance():
+    bs1 = BlackScholesModel(0.0, spot=100.0, rate=0.02, sigma=0.2, asset_id="eq1")
+    bs2 = BlackScholesModel(0.0, spot=50.0, rate=0.02, sigma=0.3, asset_id="eq2")
+    hybrid = ModelConfig([bs1, bs2], inter_asset_correlation_matrix=[np.array([[0.5]])])
+    params = hybrid.initial_params()
+    cov = hybrid.covariance_matrix(params, 2.0)
+    assert abs(float(cov[0, 1]) - 0.2 * 0.3 * 0.5 * 2.0) < 1e-12
+    states = simulate_paths(hybrid, params, SimulationScheme.ANALYTICAL, [2.0], 100_000, 1, rng.PHASE_MAINSIM)
+    emp = np.corrcoef(np.log(np.asarray(states[0, :, 0])), np.log(np.asarray(states[0, :, 1])))[0, 1]
+    assert abs(emp - 0.5) < 2e-2
