@@ -1,0 +1,638 @@
+"""SimulationController: the end-to-end xVA Monte Carlo pipeline, compiled.
+
+Counterpart of reference ``src/controller/controller.py`` (controller.py:21-709),
+re-architected for XLA (SURVEY.md §7):
+
+  * The whole run — pre-simulation, LSM regression, main simulation, request
+    resolution, product valuation, netting/collateral, metric reduction — is
+    traced into ONE jit-compiled pure function of the flat model-parameter
+    tuple.  The reference's four host phases with per-product Python loops
+    (controller.py:663-709) become a single device program; Python loops here
+    run at *trace time* over static timelines and unroll into the graph.
+  * AAD: the reference loops ``torch.autograd.grad`` per metric value
+    (controller.py:609-648).  Here one ``jax.jacrev`` over the stacked metric
+    vector yields every first-order sensitivity in a single backward sweep,
+    and ``jax.jacfwd(jax.jacrev(...))`` the full Hessian tensor.
+  * Two-phase seeding (42/43, engine.py:25) becomes two threefry phases on a
+    root key.
+  * Regression solves use per-shard Gram accumulation (utils/regression.py),
+    so LSM works unchanged over a sharded paths axis.
+
+Trace-time mutation note: ``product.regression_coeffs`` and the controller's
+per-product exposure-date coefficient buffers are assigned *inside* the traced
+function before any read, so they are trace-local values (re-created on every
+trace), never stale device buffers.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from bisect import bisect_left
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_risk_engine_tpu import rng
+from montecarlo_risk_engine_tpu.api.results import SimulationResults
+from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
+from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+from montecarlo_risk_engine_tpu.metrics.metrics import (
+    EvaluationType,
+    Metric,
+    MetricType,
+    PathwisePrimitive,
+    RiskMetrics,
+)
+from montecarlo_risk_engine_tpu.models.base import Model
+from montecarlo_risk_engine_tpu.models.hybrid import ModelConfig
+from montecarlo_risk_engine_tpu.products.base import Product
+from montecarlo_risk_engine_tpu.products.netting_set import NettingSet
+from montecarlo_risk_engine_tpu.requests import (
+    AtomicRequest,
+    AtomicRequestType,
+    RequestPlan,
+)
+from montecarlo_risk_engine_tpu.utils.regression import (
+    PolynomialRegression,
+    RegressionFunction,
+    fit_least_squares,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class SimulationController:
+    def __init__(
+        self,
+        netting_sets: Sequence[NettingSet],
+        model: Model,
+        risk_metrics: RiskMetrics,
+        num_paths_mainsim: int,
+        num_paths_presim: int,
+        num_steps: int,
+        simulation_scheme: SimulationScheme,
+        differentiate: bool = False,
+        regression_function: Optional[RegressionFunction] = None,
+        root_seed: int = 0,
+        path_sharding=None,
+    ):
+        self.risk_metrics = risk_metrics
+        netting_sets = list(netting_sets)
+        if len(netting_sets) == 0:
+            raise ValueError("Provide at least one netting set.")
+
+        seen = set()
+        for ns in netting_sets:
+            for product in ns.products:
+                if id(product) in seen:
+                    raise ValueError("A product instance cannot belong to more than one netting set.")
+                seen.add(id(product))
+
+        self.netting_sets = netting_sets
+        self.products: List[Product] = [p for ns in netting_sets for p in ns.products]
+        self.product_to_netting_set_idx: List[int] = []
+        for ns_idx, ns in enumerate(netting_sets):
+            self.product_to_netting_set_idx.extend([ns_idx] * len(ns.products))
+
+        self.metric_exposure_timeline: Tuple[float, ...] = tuple(risk_metrics.exposure_timeline)
+        self.exposure_timeline = self._build_internal_exposure_timeline()
+        self._exposure_time_to_idx = {t: i for i, t in enumerate(self.exposure_timeline)}
+        self.metric_exposure_indices = np.array(
+            [self._exposure_time_to_idx[t] for t in self.metric_exposure_timeline], dtype=int
+        )
+        self.netting_set_delayed_exposure_indices = self._build_delayed_exposure_indices()
+
+        # Exposure-date observable requests (controller.py:73-83).
+        self.numeraire_requests: Dict[Tuple[float, str], AtomicRequest] = {
+            (t, "numeraire"): AtomicRequest(AtomicRequestType.NUMERAIRE, time1=t)
+            for t in self.exposure_timeline
+        }
+        self.spot_requests: Dict[Tuple[float, str], AtomicRequest] = {
+            (t, asset_id): AtomicRequest(AtomicRequestType.SPOT)
+            for prod in self.products
+            for asset_id in prod.asset_ids
+            for t in self.exposure_timeline
+        }
+
+        # xVA configuration checks (controller.py:89-97).
+        if risk_metrics.any_xva:
+            if not isinstance(model, ModelConfig):
+                raise Exception("ModelConfig needs to be provided for xVA valuation.")
+            if not all(cp in model.id_to_model for cp in risk_metrics.counterparty_ids):
+                raise Exception("Not all models set for xVA valuation.")
+
+        self.model = model
+        self.num_paths_presim = int(num_paths_presim)
+        self.num_paths_mainsim = int(num_paths_mainsim)
+        self.num_steps = int(num_steps)
+        self.simulation_scheme = simulation_scheme
+        self.differentiate = bool(differentiate)
+        self.regression_function = regression_function or PolynomialRegression(degree=2)
+        self.requires_higher_order_derivatives = False
+        self.root_seed = int(root_seed)
+        self.path_sharding = path_sharding
+
+        for prod_id, prod in enumerate(self.products):
+            prod.product_id = prod_id
+
+        if differentiate:
+            self.model.requires_grad()
+
+        # Unified simulation timeline (controller.py:142-145).
+        prod_times = {t for prod in self.products for t in prod.modeling_timeline}
+        all_times = sorted(prod_times | set(self.exposure_timeline))
+        self.simulation_timeline: Tuple[float, ...] = tuple(all_times)
+
+        self.requires_regression = any(
+            self._product_requires_regression(p) for p in self.products
+        )
+
+        # Trace-local buffers (assigned inside the traced pipeline).
+        self._exposure_reg_coeffs: Dict[int, object] = {}
+        self._plan: Optional[RequestPlan] = None
+
+    # -- setup helpers (controller.py:153-251) ----------------------------------
+
+    def _build_internal_exposure_timeline(self) -> Tuple[float, ...]:
+        if not self.risk_metrics.requires_exposure_profiles():
+            return tuple(self.metric_exposure_timeline)
+        times = set(self.metric_exposure_timeline)
+        for ns in self.netting_sets:
+            if ns.is_collateralized():
+                times.update(ns.get_collateral_query_times(self.metric_exposure_timeline))
+        return tuple(sorted(times))
+
+    def _build_delayed_exposure_indices(self) -> List[np.ndarray]:
+        out = []
+        for ns in self.netting_sets:
+            delayed = np.full(len(self.metric_exposure_timeline), -1, dtype=int)
+            if ns.is_collateralized():
+                for i, t in enumerate(self.metric_exposure_timeline):
+                    dt = t - ns.margin_period_of_risk
+                    if dt >= 0.0:
+                        delayed[i] = self._exposure_time_to_idx[dt]
+            out.append(delayed)
+        return out
+
+    @staticmethod
+    def _make_unique_names(base_names: List[str]) -> List[str]:
+        counts: Dict[str, int] = defaultdict(int)
+        unique = []
+        for name in base_names:
+            counts[name] += 1
+            unique.append(name if counts[name] == 1 else f"{name}#{counts[name]}")
+        return unique
+
+    def _product_requires_regression(self, product: Product) -> bool:
+        if len(product.regression_timeline) > 0:
+            return True
+        if not self.risk_metrics.requires_exposure_profiles():
+            return False
+        return not self._can_use_analytic_exposure_for_product(product)
+
+    def _can_use_analytic_exposure_for_product(self, product: Product) -> bool:
+        supported = {MetricType.PV, MetricType.EPE, MetricType.PFE}
+        return all(
+            m.metric_type in supported for m in self.risk_metrics.metrics
+        ) and product.supports_analytic_exposure(self.model)
+
+    def _can_evaluate_metric_analytically(self, product: Product, metric: Metric) -> bool:
+        return (
+            metric.metric_type == MetricType.PV
+            and metric.evaluation_type == EvaluationType.ANALYTICAL
+            and product.supports_analytic_pv(self.model)
+        )
+
+    def _can_skip_monte_carlo_for_product(self, product: Product) -> bool:
+        if self.risk_metrics.requires_exposure_profiles():
+            return False
+        return all(
+            self._can_evaluate_metric_analytically(product, m)
+            for m in self.risk_metrics.metrics
+        )
+
+    def _get_requests(self):
+        requests = defaultdict(set)
+        for label, req in self.numeraire_requests.items():
+            requests[label].add(req)
+        for label, req in self.spot_requests.items():
+            requests[label].add(req)
+        for metric in self.risk_metrics.metrics:
+            for label, reqs in metric.get_requests().items():
+                for req in reqs:
+                    requests[label].add(req)
+        return requests
+
+    def compute_higher_derivatives(self):
+        self.requires_higher_order_derivatives = True
+
+    # -- LSM regression (controller.py:272-383) ------------------------------------
+
+    def _initial_hypothetical_state(self, product: Product, num_paths: int):
+        num_states = product.get_num_states()
+        if product.state_is_continuous():
+            row = jnp.arange(num_states, dtype=real_dtype())
+        else:
+            row = jnp.arange(num_states)
+        return jnp.broadcast_to(row, (num_paths, num_states))
+
+    def _perform_regression_for_product(self, product: Product, params, resolved) -> None:
+        regression_times = sorted(set(product.regression_timeline) | set(self.exposure_timeline))
+        product_timeline = product.product_timeline
+        product_reg_timeline = product.regression_timeline
+        num_states = product.get_num_states()
+        num_paths = self.num_paths_presim
+        degree = self.regression_function.get_degree()
+
+        product.regression_coeffs = jnp.zeros(
+            (len(product_reg_timeline), num_states, degree), dtype=real_dtype()
+        )
+        self._exposure_reg_coeffs[product.product_id] = jnp.zeros(
+            (len(self.exposure_timeline), num_states, degree), dtype=real_dtype()
+        )
+
+        last_cf_index = len(product_timeline)
+        cf_cache: Dict[int, object] = {
+            last_cf_index: jnp.zeros((num_paths, num_states), dtype=real_dtype())
+        }
+
+        # Backward induction (controller.py:316-383): at each date, roll the
+        # hypothetical-state matrix forward through the uncached window, stitch
+        # the cached tail via state lookup, then regress numeraire-deflated
+        # future cashflows on the explanatory spot.
+        for t_reg in reversed(regression_times):
+            idx = bisect_left(product_timeline, t_reg)
+            if idx >= len(product_timeline):
+                continue
+            t_next = idx + 1 if product_timeline[idx] == t_reg else idx
+
+            if t_next < last_cf_index:
+                state_matrix = self._initial_hypothetical_state(product, num_paths)
+                step_value = jnp.zeros((num_paths, num_states), dtype=real_dtype())
+                for window_idx in range(t_next, last_cf_index):
+                    state_matrix, cfs = product.compute_normalized_cashflows(
+                        window_idx, self.model, params, resolved,
+                        self.regression_function, state_matrix,
+                    )
+                    step_value = step_value + cfs
+                tail = product.lookup_state_values(cf_cache[last_cf_index], state_matrix)
+                total_cfs = step_value + tail
+                cf_cache[t_next] = total_cfs
+                last_cf_index = t_next
+            else:
+                total_cfs = cf_cache[t_next]
+
+            if t_reg in product_reg_timeline:
+                i_t = product_timeline.index(t_reg)
+                numeraire = resolved[0][product.numeraire_requests[i_t].handle]
+                explanatory = resolved[0][
+                    product.spot_requests[(i_t, product.asset_ids[0])].handle
+                ]
+            else:
+                numeraire = resolved[0][self.numeraire_requests[(t_reg, "numeraire")].handle]
+                explanatory = resolved[0][self.spot_requests[(t_reg, product.asset_ids[0])].handle]
+
+            numeraire_col = numeraire[:, None] if jnp.ndim(numeraire) == 1 else numeraire
+            targets = numeraire_col * total_cfs
+            basis = self.regression_function.get_regression_matrix(
+                jnp.broadcast_to(explanatory, (num_paths,))
+            )
+            coeffs = fit_least_squares(basis, targets)
+
+            if t_reg in product_reg_timeline:
+                reg_idx = product_reg_timeline.index(t_reg)
+                product.regression_coeffs = product.regression_coeffs.at[reg_idx].set(coeffs)
+            if t_reg in self._exposure_time_to_idx:
+                exp_idx = self._exposure_time_to_idx[t_reg]
+                self._exposure_reg_coeffs[product.product_id] = (
+                    self._exposure_reg_coeffs[product.product_id].at[exp_idx].set(coeffs)
+                )
+
+    # -- product valuation (controller.py:385-471) -----------------------------------
+
+    def _evaluate_product(self, product: Product, params, resolved):
+        num_paths = self.num_paths_mainsim
+        initial_state = product.get_initial_state()
+        state_dtype = real_dtype() if product.state_is_continuous() else int
+        state_matrix = jnp.full((num_paths, 1), initial_state, dtype=state_dtype)
+
+        cfs = jnp.zeros((num_paths,), dtype=real_dtype())
+        exposures = []
+        product_timeline = product.product_timeline
+        t_start = 0
+
+        def advance(t_limit, state_matrix, cfs, t_start):
+            while t_start < len(product_timeline) and (
+                t_limit is None or product_timeline[t_start] <= t_limit
+            ):
+                state_matrix, new_cfs = product.compute_normalized_cashflows(
+                    t_start, self.model, params, resolved,
+                    self.regression_function, state_matrix,
+                )
+                cfs = cfs + new_cfs[:, 0]
+                t_start += 1
+            return state_matrix, cfs, t_start
+
+        if (
+            not self.risk_metrics.requires_exposure_profiles()
+            and self.risk_metrics.requires_discounted_cashflows()
+        ):
+            state_matrix, cfs, t_start = advance(None, state_matrix, cfs, t_start)
+        else:
+            for t in self.exposure_timeline:
+                state_matrix, cfs, t_start = advance(t, state_matrix, cfs, t_start)
+                numeraire = resolved[0][self.numeraire_requests[(t, "numeraire")].handle]
+                if self._can_use_analytic_exposure_for_product(product):
+                    spot = resolved[0][self.spot_requests[(t, product.asset_ids[0])].handle]
+                    exposure = product.compute_discounted_exposure_analytically(
+                        exposure_time=t, spot=spot, numeraire=numeraire,
+                        model=self.model, params=params,
+                    )
+                else:
+                    explanatory = resolved[0][
+                        self.spot_requests[(t, product.asset_ids[0])].handle
+                    ]
+                    coeffs = self._exposure_reg_coeffs[product.product_id][
+                        self._exposure_time_to_idx[t]
+                    ]
+                    continuation = product.compute_continuation_values(
+                        explanatory=jnp.broadcast_to(explanatory, (num_paths,)),
+                        regression_function=self.regression_function,
+                        state_matrix=state_matrix,
+                        coeffs_all_states=coeffs,
+                    )[:, 0]
+                    exposure = continuation / numeraire
+                exposures.append(jnp.broadcast_to(exposure, (num_paths,)))
+
+            if self.risk_metrics.requires_discounted_cashflows():
+                state_matrix, cfs, t_start = advance(None, state_matrix, cfs, t_start)
+
+        exposures_arr = (
+            jnp.stack(exposures, axis=0)
+            if exposures
+            else jnp.zeros((0, num_paths), dtype=real_dtype())
+        )
+        return {
+            PathwisePrimitive.DISCOUNTED_CASHFLOWS: cfs,
+            PathwisePrimitive.EXPOSURE_PROFILES: exposures_arr,
+        }
+
+    # -- netting + metrics (controller.py:473-604) ---------------------------------------
+
+    def _zero_metric_result(self, metric: Metric):
+        n_evals = (
+            1
+            if metric.metric_type in {MetricType.PV, MetricType.CVA, MetricType.EEPE}
+            else len(self.metric_exposure_timeline)
+        )
+        zero = jnp.zeros((), dtype=real_dtype())
+        return [(zero, zero) for _ in range(n_evals)]
+
+    def _evaluate_netting_set(
+        self, ns_idx, netting_set, accumulator, resolved, analytic_acc, has_pathwise,
+    ):
+        if self.risk_metrics.requires_discounted_cashflows():
+            cfs = accumulator[PathwisePrimitive.DISCOUNTED_CASHFLOWS]
+        else:
+            cfs = jnp.zeros((self.num_paths_mainsim,), dtype=real_dtype())
+
+        if self.risk_metrics.requires_exposure_profiles():
+            unsecured = netting_set.compute_unsecured_exposure_profiles(
+                netted_exposures=accumulator[PathwisePrimitive.EXPOSURE_PROFILES],
+                exposure_timeline=self.exposure_timeline,
+                metric_exposure_indices=self.metric_exposure_indices,
+                delayed_exposure_indices=self.netting_set_delayed_exposure_indices[ns_idx],
+            )
+            exposure_list = [unsecured[i] for i in range(unsecured.shape[0])]
+        else:
+            exposure_list = []
+
+        metric_results = []
+        for metric_idx, metric in enumerate(self.risk_metrics.metrics):
+            # CVA is gated on counterparty match (controller.py:536-541).
+            if (
+                metric.metric_type == MetricType.CVA
+                and netting_set.counterparty_id is not None
+                and getattr(metric, "counterparty_id", None) != netting_set.counterparty_id
+            ):
+                metric_results.append(self._zero_metric_result(metric))
+                continue
+
+            if (
+                metric.metric_type == MetricType.PV
+                and metric.evaluation_type == EvaluationType.ANALYTICAL
+            ):
+                analytic_value = analytic_acc[metric_idx]
+                if has_pathwise:
+                    numeric, err = metric._compute_mc_mean_and_error(cfs)
+                else:
+                    numeric = jnp.zeros_like(analytic_value)
+                    err = jnp.zeros_like(analytic_value)
+                metric_results.append([(analytic_value + numeric, err)])
+                continue
+
+            metric_results.append(
+                metric.evaluate(
+                    exposures=exposure_list,
+                    cfs=cfs,
+                    resolved_requests=resolved,
+                    netting_set=netting_set,
+                    model=self.model,
+                )
+            )
+        return metric_results
+
+    def _evaluate_products(self, params, resolved):
+        num_exposure_dates = len(self.exposure_timeline)
+        accumulators = []
+        for _ in self.netting_sets:
+            acc = {}
+            if self.risk_metrics.requires_discounted_cashflows():
+                acc[PathwisePrimitive.DISCOUNTED_CASHFLOWS] = jnp.zeros(
+                    (self.num_paths_mainsim,), dtype=real_dtype()
+                )
+            if self.risk_metrics.requires_exposure_profiles():
+                acc[PathwisePrimitive.EXPOSURE_PROFILES] = jnp.zeros(
+                    (num_exposure_dates, self.num_paths_mainsim), dtype=real_dtype()
+                )
+            accumulators.append(acc)
+
+        analytic_acc = [
+            [jnp.zeros((), dtype=real_dtype()) for _ in self.risk_metrics.metrics]
+            for _ in self.netting_sets
+        ]
+        has_pathwise = [False] * len(self.netting_sets)
+
+        for prod_idx, product in enumerate(self.products):
+            ns_idx = self.product_to_netting_set_idx[prod_idx]
+            if self._can_skip_monte_carlo_for_product(product):
+                for metric_idx, metric in enumerate(self.risk_metrics.metrics):
+                    value = metric.evaluate_analytically(
+                        product=product, model=self.model, params=params
+                    )[0][0]
+                    analytic_acc[ns_idx][metric_idx] = analytic_acc[ns_idx][metric_idx] + value
+                continue
+
+            result = self._evaluate_product(product, params, resolved)
+            has_pathwise[ns_idx] = True
+            if self.risk_metrics.requires_discounted_cashflows():
+                accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
+                    accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS]
+                    + result[PathwisePrimitive.DISCOUNTED_CASHFLOWS]
+                )
+            if self.risk_metrics.requires_exposure_profiles():
+                accumulators[ns_idx][PathwisePrimitive.EXPOSURE_PROFILES] = (
+                    accumulators[ns_idx][PathwisePrimitive.EXPOSURE_PROFILES]
+                    + result[PathwisePrimitive.EXPOSURE_PROFILES]
+                )
+
+        return [
+            self._evaluate_netting_set(
+                i, ns, accumulators[i], resolved, analytic_acc[i], has_pathwise[i]
+            )
+            for i, ns in enumerate(self.netting_sets)
+        ]
+
+    # -- the traced pipeline -------------------------------------------------------------
+
+    def _compute(self, params):
+        plan = self._plan
+        if self.requires_regression and self.num_paths_presim > 0:
+            states_pre = simulate_paths(
+                self.model, params, self.simulation_scheme, self.simulation_timeline,
+                self.num_paths_presim, self.num_steps, rng.PHASE_PRESIM,
+                root_seed=self.root_seed, path_sharding=self.path_sharding,
+            )
+            resolved_pre = plan.resolve_requests(params, states_pre)
+            for product in self.products:
+                if self._product_requires_regression(product):
+                    self._perform_regression_for_product(product, params, resolved_pre)
+
+        states = simulate_paths(
+            self.model, params, self.simulation_scheme, self.simulation_timeline,
+            self.num_paths_mainsim, self.num_steps, rng.PHASE_MAINSIM,
+            root_seed=self.root_seed, path_sharding=self.path_sharding,
+        )
+        resolved = plan.resolve_requests(params, states)
+        return self._evaluate_products(params, resolved)
+
+    def _flatten(self, nested):
+        values, errors = [], []
+        for ns_results in nested:
+            for metric_results in ns_results:
+                for value, err in metric_results:
+                    values.append(jnp.reshape(value, ()))
+                    errors.append(jnp.reshape(err, ()))
+        return jnp.stack(values), jnp.stack(errors)
+
+    def _result_spec(self, nested):
+        return [[len(metric_results) for metric_results in ns_results] for ns_results in nested]
+
+    # -- public entry point (controller.py:663-709) ------------------------------------------
+
+    def run_simulation(self) -> SimulationResults:
+        t0 = time.perf_counter()
+        self._plan = RequestPlan(self.model)
+        self._plan.collect_and_index_requests(
+            self.products,
+            self.simulation_timeline,
+            self._get_requests(),
+            self.metric_exposure_timeline,
+        )
+        params = tuple(self.model.initial_params())
+
+        def flat_fn(p):
+            return self._flatten(self._compute(p))
+
+        t1 = time.perf_counter()
+        values, errors = jax.jit(flat_fn)(params)
+        values.block_until_ready()
+        t2 = time.perf_counter()
+
+        grads = None
+        hessians = None
+        if self.differentiate:
+            grads = jax.jit(jax.jacrev(lambda p: flat_fn(p)[0]))(params)
+            jax.block_until_ready(grads)
+            if self.requires_higher_order_derivatives:
+                hessians = jax.jit(jax.jacfwd(jax.jacrev(lambda p: flat_fn(p)[0])))(params)
+                jax.block_until_ready(hessians)
+        t3 = time.perf_counter()
+
+        # Rebuild the nested result structure from the flat vectors.
+        spec = self._result_spec_cached()
+        values_np = np.asarray(values)
+        errors_np = np.asarray(errors)
+        grads_np = None if grads is None else [np.asarray(g) for g in grads]
+        hess_np = (
+            None
+            if hessians is None
+            else [[np.asarray(h) for h in row] for row in hessians]
+        )
+
+        results, derivatives, second_derivatives = [], [], []
+        flat_idx = 0
+        n_params = len(params)
+        for ns_spec in spec:
+            ns_results, ns_derivs, ns_hess = [], [], []
+            for n_evals in ns_spec:
+                evals, devals, hevals = [], [], []
+                for _ in range(n_evals):
+                    evals.append((values_np[flat_idx], errors_np[flat_idx]))
+                    if grads_np is not None:
+                        devals.append(tuple(grads_np[p][flat_idx] for p in range(n_params)))
+                    if hess_np is not None:
+                        hevals.append(
+                            [
+                                [hess_np[p1][p2][flat_idx] for p2 in range(n_params)]
+                                for p1 in range(n_params)
+                            ]
+                        )
+                    flat_idx += 1
+                ns_results.append(evals)
+                ns_derivs.append(devals)
+                ns_hess.append(hevals)
+            results.append(ns_results)
+            derivatives.append(ns_derivs if grads_np is not None else [])
+            second_derivatives.append(ns_hess if hess_np is not None else [])
+
+        t4 = time.perf_counter()
+        logger.info(
+            "Simulation completed for %d netting set(s) and %d product(s): "
+            "preprocessing=%.6fs pipeline=%.6fs differentiation=%.6fs "
+            "postprocessing=%.6fs total=%.6fs",
+            len(self.netting_sets), len(self.products),
+            t1 - t0, t2 - t1, t3 - t2, t4 - t3, t4 - t0,
+        )
+
+        return SimulationResults(
+            results,
+            derivatives if grads_np is not None else [],
+            second_derivatives if hess_np is not None else [],
+            netting_set_names=self._make_unique_names(
+                [ns.get_name() for ns in self.netting_sets]
+            ),
+            metric_names=self._make_unique_names(
+                [m.get_name() for m in self.risk_metrics.metrics]
+            ),
+            model_param_names=self.model.get_model_param_names(),
+        )
+
+    def _result_spec_cached(self):
+        # The per-metric evaluation counts are static: derive them without
+        # touching device values.
+        spec = []
+        for ns in self.netting_sets:
+            ns_spec = []
+            for metric in self.risk_metrics.metrics:
+                if metric.metric_type in {MetricType.PV, MetricType.CVA,
+                                          MetricType.EEPE, MetricType.CE}:
+                    ns_spec.append(1)
+                else:
+                    ns_spec.append(len(self.metric_exposure_timeline))
+            spec.append(ns_spec)
+        return spec

@@ -1,0 +1,280 @@
+"""Risk metrics: PV, CE, EPE, ENE, EEPE, PFE, CVA + RiskMetrics container.
+
+Counterpart of the reference's ``src/metrics/`` package (metric.py:7-61,
+pv_metric.py, ce_metric.py, epe_metric.py, ene_metric.py, eepe_metric.py,
+pfe_metric.py, cva_metric.py, risk_metrics.py).
+
+Conventions preserved exactly (part of the public contract, SURVEY.md §5.5):
+  * every metric returns a list of (value, mc_error) pairs, one per
+    evaluation point;
+  * MC error = unbiased std / sqrt(N) (metric.py:26-35);
+  * PFE uses the order-statistic convention ``sorted[ceil(q N) - 1]`` with a
+    finite-difference density standard error and the flat-region zero cases
+    (pfe_metric.py:13-66);
+  * EEPE is the plain time-average of EE with the std-across-dates error
+    (eepe_metric.py:11-16 — quirk Q6, reproduced deliberately);
+  * CVA accumulates pathwise ``E+(t_k) · S(0,t_k) · (1 - S(t_k,t_{k+1}))``
+    scaled by (1 - recovery) (cva_metric.py:62-100).
+
+All evaluation functions are pure jnp and differentiable; under a sharded
+paths axis the means/sorts compile to XLA collectives.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from montecarlo_risk_engine_tpu.config import asarray, real_dtype
+from montecarlo_risk_engine_tpu.requests import AtomicRequest, AtomicRequestType
+
+
+class MetricType(enum.Enum):
+    PV = "Present Value"
+    CE = "Current Exposure"
+    EPE = "Expected Positive Exposure"
+    ENE = "Expected Negative Exposure"
+    PFE = "Potential Future Exposure"
+    EEPE = "Effective Expected Positive Exposure"
+    CVA = "Credit Valuation Adjustment"
+
+
+class EvaluationType(enum.Enum):
+    ANALYTICAL = "Analytical"
+    NUMERICAL = "Numerical"
+
+
+def mc_mean_and_error(values) -> Tuple:
+    """(mean, unbiased-std / sqrt(N)) over a pathwise vector (metric.py:26-35)."""
+    values = jnp.asarray(values)
+    n = values.shape[0]
+    mean = jnp.mean(values)
+    sigma = jnp.std(values, ddof=1) if n > 1 else jnp.zeros_like(mean)
+    return mean, sigma / jnp.sqrt(asarray(n))
+
+
+class Metric:
+    # expose the nested-enum spelling the reference API uses
+    EvaluationType = EvaluationType
+
+    def __init__(self, metric_type: MetricType, evaluation_type: EvaluationType):
+        self.metric_type = metric_type
+        self.evaluation_type = evaluation_type
+
+    def _compute_mc_mean_and_error(self, values):
+        return mc_mean_and_error(values)
+
+    def set_requests(self, exposure_timeline) -> None:
+        pass
+
+    def get_requests(self) -> Dict[Tuple[int, str], List[AtomicRequest]]:
+        return defaultdict(list)
+
+    def get_counterparty_ids(self) -> Optional[List[str]]:
+        return None
+
+    def get_name(self) -> str:
+        return self.metric_type.name.lower()
+
+    def evaluate_analytically(self, **kwargs):
+        raise NotImplementedError("Analytical evaluation not implemented.")
+
+    def evaluate_numerically(self, **kwargs):
+        raise NotImplementedError("Numerical evaluation not implemented.")
+
+    def evaluate(self, **kwargs):
+        if self.evaluation_type == EvaluationType.NUMERICAL:
+            return self.evaluate_numerically(**kwargs)
+        return self.evaluate_analytically(**kwargs)
+
+
+class PVMetric(Metric):
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.PV, evaluation_type)
+
+    def evaluate_analytically(self, product=None, model=None, params=None, **kwargs):
+        if product is None or model is None:
+            raise ValueError("Analytical PV evaluation requires both product and model.")
+        pv = jnp.squeeze(product.compute_pv_analytically(model, params))
+        return [(pv, jnp.zeros_like(pv))]
+
+    def evaluate_numerically(self, cfs=None, **kwargs):
+        return [mc_mean_and_error(cfs)]
+
+
+class CEMetric(Metric):
+    """Current exposure: relu of the first exposure date (ce_metric.py:11-13,
+    quirk Q10: assumes the first metric exposure date is ~t=0)."""
+
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.CE, evaluation_type)
+
+    def evaluate_numerically(self, exposures=None, **kwargs):
+        return [mc_mean_and_error(jnp.maximum(exposures[0], 0.0))]
+
+
+class EPEMetric(Metric):
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.EPE, evaluation_type)
+
+    def evaluate_numerically(self, exposures=None, **kwargs):
+        return [mc_mean_and_error(jnp.maximum(e, 0.0)) for e in exposures]
+
+
+class ENEMetric(Metric):
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.ENE, evaluation_type)
+
+    def evaluate_numerically(self, exposures=None, **kwargs):
+        return [mc_mean_and_error(-jnp.maximum(-e, 0.0)) for e in exposures]
+
+
+class EEPEMetric(Metric):
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.EEPE, evaluation_type)
+
+    def evaluate_numerically(self, exposures=None, **kwargs):
+        per_date_ee = jnp.stack([jnp.mean(jnp.maximum(e, 0.0)) for e in exposures])
+        return [mc_mean_and_error(per_date_ee)]
+
+
+class PFEMetric(Metric):
+    def __init__(self, quantile: float = 0.95,
+                 evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.PFE, evaluation_type)
+        self.quantile = float(quantile)
+
+    def get_name(self) -> str:
+        return f"pfe[{self.quantile:g}]"
+
+    def _quantile_se(self, sorted_vals, q_index: int):
+        n = sorted_vals.shape[0]
+        if q_index == 0 or q_index == n - 1:
+            return jnp.zeros((), dtype=sorted_vals.dtype)
+        pfe = sorted_vals[q_index]
+        # density via central finite difference; flat region -> zero error
+        f_q = (sorted_vals[q_index + 1] - sorted_vals[q_index - 1]) / 2.0
+        flat = (sorted_vals[q_index - 1] == pfe) & (sorted_vals[q_index + 1] == pfe)
+        f_q = jnp.maximum(f_q, 1e-6)
+        se = jnp.sqrt(self.quantile * (1.0 - self.quantile) / (n * f_q * f_q))
+        return jnp.where(flat, 0.0, se)
+
+    def evaluate_numerically(self, exposures=None, **kwargs):
+        results = []
+        for e in exposures:
+            n = e.shape[0]
+            q_index = int(math.ceil(self.quantile * n)) - 1
+            sorted_vals = jnp.sort(e)
+            results.append((sorted_vals[q_index], self._quantile_se(sorted_vals, q_index)))
+        return results
+
+
+class CVAMetric(Metric):
+    def __init__(self, counterparty_id: str, recovery_rate: float,
+                 evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+        super().__init__(MetricType.CVA, evaluation_type)
+        self.counterparty_id = counterparty_id
+        self.recovery_rate = float(recovery_rate)
+        self.survival_prob_requests: Dict[Tuple[int, str], AtomicRequest] = {}
+        self.cond_survival_prob_requests: Dict[Tuple[int, str], AtomicRequest] = {}
+
+    def get_counterparty_ids(self):
+        return [self.counterparty_id]
+
+    def get_name(self) -> str:
+        return f"cva[{self.counterparty_id}]"
+
+    def set_requests(self, exposure_timeline) -> None:
+        # One (unconditional, conditional) survival pair per exposure interval
+        # (cva_metric.py:23-44).
+        cp = self.counterparty_id
+        for idx in range(len(exposure_timeline) - 1):
+            self.cond_survival_prob_requests[(idx, cp)] = AtomicRequest(
+                AtomicRequestType.CONDITIONAL_SURVIVAL_PROBABILITY,
+                time1=float(exposure_timeline[idx]),
+                time2=float(exposure_timeline[idx + 1]),
+            )
+            self.survival_prob_requests[(idx, cp)] = AtomicRequest(
+                AtomicRequestType.SURVIVAL_PROBABILITY
+            )
+
+    def get_requests(self):
+        requests = defaultdict(list)
+        for label, req in self.survival_prob_requests.items():
+            requests[label].append(req)
+        for label, req in self.cond_survival_prob_requests.items():
+            requests[label].append(req)
+        return requests
+
+    def evaluate_numerically(self, exposures=None, resolved_requests=None, **kwargs):
+        n_dates = len(exposures)
+        survival = [resolved_requests[0][r.handle] for r in self.survival_prob_requests.values()]
+        cond_survival = [
+            resolved_requests[0][r.handle] for r in self.cond_survival_prob_requests.values()
+        ]
+        assert len(survival) == n_dates - 1, (
+            "survival probability required for each exposure interval"
+        )
+        cva_pathwise = 0.0
+        for k in range(n_dates - 1):
+            e_pos = jnp.maximum(exposures[k], 0.0)
+            default_prob = survival[k] * (1.0 - cond_survival[k])
+            cva_pathwise = cva_pathwise + e_pos * default_prob
+        cva_pathwise = cva_pathwise * (1.0 - self.recovery_rate)
+        return [mc_mean_and_error(cva_pathwise)]
+
+
+class PathwisePrimitive(enum.Enum):
+    DISCOUNTED_CASHFLOWS = "discounted_cashflows"
+    EXPOSURE_PROFILES = "exposure_profiles"
+
+
+class RiskMetrics:
+    """Metric collection deriving which pathwise primitives are needed
+    (risk_metrics.py:14-58)."""
+
+    def __init__(self, metrics: Sequence[Metric], exposure_timeline=None):
+        self.metrics = list(metrics)
+        if exposure_timeline is None:
+            exposure_timeline = []
+        self.exposure_timeline = tuple(float(t) for t in exposure_timeline)
+
+        self.any_pv = any(m.metric_type == MetricType.PV for m in self.metrics)
+        self.any_xva = any(m.metric_type == MetricType.CVA for m in self.metrics)
+        self.any_exposure = any(m.metric_type != MetricType.PV for m in self.metrics)
+
+        required = []
+        if self.any_pv:
+            required.append(PathwisePrimitive.DISCOUNTED_CASHFLOWS)
+        if self.any_exposure:
+            required.append(PathwisePrimitive.EXPOSURE_PROFILES)
+        self._required = frozenset(required)
+        if self.any_exposure:
+            assert len(self.exposure_timeline) > 0, (
+                "For exposure simulation at least one exposure time point needs to be provided."
+            )
+
+        for metric in self.metrics:
+            metric.set_requests(self.exposure_timeline)
+
+        self.counterparty_ids: List[str] = []
+        for metric in self.metrics:
+            cp_ids = metric.get_counterparty_ids()
+            if cp_ids:
+                self.counterparty_ids.extend(cp_ids)
+
+    def requires_discounted_cashflows(self) -> bool:
+        return PathwisePrimitive.DISCOUNTED_CASHFLOWS in self._required
+
+    def requires_exposure_profiles(self) -> bool:
+        return PathwisePrimitive.EXPOSURE_PROFILES in self._required
+
+    def requires_primitive(self, primitive: PathwisePrimitive) -> bool:
+        return primitive in self._required
+
+    def required_pathwise_primitives(self):
+        return self._required
