@@ -34,6 +34,7 @@ from montecarlo_risk_engine_tpu.products.asian_option import AsianAveragingType,
 from montecarlo_risk_engine_tpu.products.barrier_option import BarrierOption, BarrierOptionType
 from montecarlo_risk_engine_tpu.products.base import OptionType, Product, ProductFamily, SettlementType
 from montecarlo_risk_engine_tpu.products.basket_option import BasketOption, BasketOptionType
+from montecarlo_risk_engine_tpu.products.bermudan_option import AmericanOption, BermudanOption
 from montecarlo_risk_engine_tpu.products.binary_option import BinaryOption
 from montecarlo_risk_engine_tpu.products.bond import Bond
 from montecarlo_risk_engine_tpu.products.equity import Equity

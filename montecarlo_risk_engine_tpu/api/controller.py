@@ -153,6 +153,7 @@ class SimulationController:
 
         # Trace-local buffers (assigned inside the traced pipeline).
         self._exposure_reg_coeffs: Dict[int, object] = {}
+        self._scan_coeffs: Dict[int, object] = {}
         self._plan: Optional[RequestPlan] = None
 
     # -- setup helpers (controller.py:153-251) ----------------------------------
@@ -311,6 +312,137 @@ class SimulationController:
                 self._exposure_reg_coeffs[product.product_id] = (
                     self._exposure_reg_coeffs[product.product_id].at[exp_idx].set(coeffs)
                 )
+
+    # -- exercise products: lax.scan fast path -----------------------------------------
+    #
+    # Bermudan/FlexiCall-style products have one uniform decision per date, so
+    # instead of unrolling hundreds of dates into the graph (reference
+    # controller.py:316-383 loops in Python per date), both the LSM backward
+    # induction and the forward valuation run as a single lax.scan over dense
+    # per-event tables.  Compile time becomes O(1) in the number of exercise
+    # dates; the backward carry C[N, S] holds "future cashflows from here,
+    # per hypothetical state" and replaces the reference's cf_cache
+    # (controller.py:306-355).
+
+    def _supports_exercise_scan(self, product: Product) -> bool:
+        return (
+            hasattr(product, "scan_exercise_step")
+            and len(product.product_timeline) > 0
+            and tuple(product.regression_timeline) == tuple(product.product_timeline)
+        )
+
+    def _exercise_event_tables(self, product: Product, resolved, num_paths: int):
+        asset = product.asset_ids[0]
+        prod_time_to_idx = {t: i for i, t in enumerate(product.product_timeline)}
+        times = sorted(set(product.product_timeline) | set(self.exposure_timeline))
+        strikes = product.scan_event_strikes()
+
+        expl_rows, num_rows, und_rows = [], [], []
+        strike_rows, is_prod_rows = [], []
+        prod_rows, exp_rows, exp_slots = [], [], []
+        zeros = jnp.zeros((num_paths,), dtype=real_dtype())
+
+        for row, t in enumerate(times):
+            if t in prod_time_to_idx:
+                i = prod_time_to_idx[t]
+                expl = resolved[0][product.spot_requests[(i, asset)].handle]
+                num = resolved[0][product.numeraire_requests[i].handle]
+                und = resolved[1][product.underlying_requests[i].get_handle()]
+                strike_rows.append(strikes[i])
+                is_prod_rows.append(True)
+                prod_rows.append(row)
+            else:
+                expl = resolved[0][self.spot_requests[(t, asset)].handle]
+                num = resolved[0][self.numeraire_requests[(t, "numeraire")].handle]
+                und = zeros
+                strike_rows.append(0.0)
+                is_prod_rows.append(False)
+            if t in self._exposure_time_to_idx:
+                exp_rows.append(row)
+                exp_slots.append(self._exposure_time_to_idx[t])
+            expl_rows.append(jnp.broadcast_to(expl, (num_paths,)))
+            num_rows.append(jnp.broadcast_to(num, (num_paths,)))
+            und_rows.append(jnp.broadcast_to(und, (num_paths,)))
+
+        xs = (
+            jnp.stack(expl_rows),
+            jnp.stack(num_rows),
+            jnp.stack(und_rows),
+            asarray(strike_rows),
+            jnp.asarray(is_prod_rows),
+        )
+        return xs, np.array(prod_rows), np.array(exp_rows), np.array(exp_slots, dtype=int)
+
+    def _regression_exercise_scan(self, product: Product, params, resolved) -> None:
+        num_paths = self.num_paths_presim
+        xs, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
+            product, resolved, num_paths
+        )
+        num_states = product.get_num_states()
+        regfn = self.regression_function
+        state0 = self._initial_hypothetical_state(product, num_paths)
+
+        def body(carry, event):
+            expl, num, und, strike, is_prod = event
+            basis = regfn.get_regression_matrix(expl)
+            coeffs = fit_least_squares(basis, num[:, None] * carry)
+            next_state, cfs = product.scan_exercise_step(
+                regfn, state0, und, expl, num, strike, coeffs
+            )
+            updated = cfs + product.lookup_state_values(carry, next_state)
+            carry = jnp.where(is_prod, updated, carry)
+            return carry, coeffs
+
+        c0 = jnp.zeros((num_paths, num_states), dtype=real_dtype())
+        _, coeffs_all = jax.lax.scan(body, c0, xs, reverse=True)
+
+        product.regression_coeffs = coeffs_all[prod_rows]
+        exposure_coeffs = jnp.zeros(
+            (len(self.exposure_timeline), num_states, regfn.get_degree()),
+            dtype=real_dtype(),
+        )
+        if len(exp_rows):
+            exposure_coeffs = exposure_coeffs.at[exp_slots].set(coeffs_all[exp_rows])
+        self._exposure_reg_coeffs[product.product_id] = exposure_coeffs
+        self._scan_coeffs[product.product_id] = coeffs_all
+
+    def _evaluate_exercise_scan(self, product: Product, params, resolved):
+        num_paths = self.num_paths_mainsim
+        xs, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
+            product, resolved, num_paths
+        )
+        coeffs_all = self._scan_coeffs[product.product_id]
+        regfn = self.regression_function
+        state_dtype = real_dtype() if product.state_is_continuous() else int
+        state0 = jnp.full((num_paths, 1), product.get_initial_state(), dtype=state_dtype)
+
+        def body(carry, event):
+            state, cfs = carry
+            expl, num, und, strike, is_prod, coeffs = event
+            next_state, step_cfs = product.scan_exercise_step(
+                regfn, state, und, expl, num, strike, coeffs
+            )
+            state = jnp.where(is_prod, next_state, state)
+            cfs = cfs + jnp.where(is_prod, step_cfs[:, 0], 0.0)
+            continuation = product.compute_continuation_values(
+                explanatory=expl, regression_function=regfn,
+                state_matrix=state, coeffs_all_states=coeffs,
+            )[:, 0]
+            return (state, cfs), continuation / num
+
+        (final_state, cfs), exposures_all = jax.lax.scan(
+            body, (state0, jnp.zeros((num_paths,), dtype=real_dtype())),
+            xs + (coeffs_all,),
+        )
+        if len(self.exposure_timeline) and len(exp_rows):
+            order = np.argsort(exp_slots)
+            exposures = exposures_all[exp_rows[order]]
+        else:
+            exposures = jnp.zeros((0, num_paths), dtype=real_dtype())
+        return {
+            PathwisePrimitive.DISCOUNTED_CASHFLOWS: cfs,
+            PathwisePrimitive.EXPOSURE_PROFILES: exposures,
+        }
 
     # -- product valuation (controller.py:385-471) -----------------------------------
 
@@ -477,7 +609,13 @@ class SimulationController:
                     analytic_acc[ns_idx][metric_idx] = analytic_acc[ns_idx][metric_idx] + value
                 continue
 
-            result = self._evaluate_product(product, params, resolved)
+            if (
+                self._supports_exercise_scan(product)
+                and product.product_id in self._scan_coeffs
+            ):
+                result = self._evaluate_exercise_scan(product, params, resolved)
+            else:
+                result = self._evaluate_product(product, params, resolved)
             has_pathwise[ns_idx] = True
             if self.risk_metrics.requires_discounted_cashflows():
                 accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
@@ -510,7 +648,10 @@ class SimulationController:
             resolved_pre = plan.resolve_requests(params, states_pre)
             for product in self.products:
                 if self._product_requires_regression(product):
-                    self._perform_regression_for_product(product, params, resolved_pre)
+                    if self._supports_exercise_scan(product):
+                        self._regression_exercise_scan(product, params, resolved_pre)
+                    else:
+                        self._perform_regression_for_product(product, params, resolved_pre)
 
         states = simulate_paths(
             self.model, params, self.simulation_scheme, self.simulation_timeline,

@@ -115,8 +115,31 @@ class Model:
 
     # -- observables --------------------------------------------------------
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id: str, state):
-        """Resolve one observable from the state at the request's time point
-        (reference model.py:135-141).  Returns [N] or a 0-d array when the
-        observable is state-independent."""
+    def resolve_obs(self, params, kind, asset_id: str, t1, t2, state):
+        """Resolve one observable kind from the state at one time point.
+
+        ``t1``/``t2`` may be traced scalars (0.0 when the request carries no
+        time), so the request plan can vmap this over a whole column of
+        requests — the "observable schedule" resolution of SURVEY.md §7.1.
+        Returns [N] or a 0-d array when state-independent.
+        """
         raise NotImplementedError
+
+    def resolve_request(self, params, req: AtomicRequest, asset_id: str, state):
+        """Resolve one declared request (reference model.py:135-141)."""
+        t1 = 0.0 if req.time1 is None else req.time1
+        t2 = 0.0 if req.time2 is None else req.time2
+        return self.resolve_obs(params, req.request_type, asset_id, t1, t2, state)
+
+    def resolve_request_rows(self, params, kind, asset_id: str, t1s, t2s, states_sel):
+        """Vectorised resolution of n same-kind requests on one asset.
+
+        states_sel: [n, N, state_dim] — the path states gathered at each
+        request's time index.  Returns [n, N] (or [n] when state-independent).
+        Default: vmap of resolve_obs; models may override with a fused form.
+        """
+        import jax
+
+        return jax.vmap(
+            lambda t1, t2, state: self.resolve_obs(params, kind, asset_id, t1, t2, state)
+        )(t1s, t2s, states_sel)

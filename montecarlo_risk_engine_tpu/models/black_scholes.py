@@ -76,19 +76,17 @@ class BlackScholesModel(Model):
             + 0.5 * sigma * sigma * state * (dw * dw - dt)
         )
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         # Reference black_scholes.py:87-111 — constant short rate closed forms.
         _, _, rate = self._unpack(params)
-        kind = req.request_type
         if kind == AtomicRequestType.SPOT:
             return state[:, 0]
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
-            return jnp.exp(-rate * (req.time1 - self.calibration_date))
+            return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:
-            return jnp.exp(rate * (req.time2 - req.time1))
+            return jnp.exp(rate * (t2 - t1))
         if kind == AtomicRequestType.LIBOR_RATE:
-            accrual = req.time2 - req.time1
-            return (jnp.exp(rate * accrual) - 1.0) / accrual
+            return (jnp.exp(rate * (t2 - t1)) - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
-            return jnp.exp(rate * (req.time1 - self.calibration_date))
+            return jnp.exp(rate * (t1 - self.calibration_date))
         raise NotImplementedError(f"Request type {kind} not supported by BlackScholesModel.")

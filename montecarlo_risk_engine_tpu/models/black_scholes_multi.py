@@ -82,18 +82,16 @@ class BlackScholesMulti(Model):
         sigma = self._vols(params)[None, :]
         return state + rate * state * dt + sigma * state * jnp.sqrt(dt) * corr_noise
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
-        kind = req.request_type
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         rate = self._rate(params)
         if kind == AtomicRequestType.SPOT:
             return state[:, self.asset_ids.index(asset_id)]
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
-            return jnp.exp(-rate * (req.time1 - self.calibration_date))
+            return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:
-            return jnp.exp(rate * (req.time2 - req.time1))
+            return jnp.exp(rate * (t2 - t1))
         if kind == AtomicRequestType.LIBOR_RATE:
-            accrual = req.time2 - req.time1
-            return (jnp.exp(rate * accrual) - 1.0) / accrual
+            return (jnp.exp(rate * (t2 - t1)) - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
-            return jnp.exp(rate * (req.time1 - self.calibration_date))
+            return jnp.exp(rate * (t1 - self.calibration_date))
         raise NotImplementedError(f"Request type {kind} not supported by BlackScholesMulti.")

@@ -222,10 +222,9 @@ class CIRPPModel(Model):
         inside = jnp.maximum(delta + (1.0 - delta) * s, 1e-24)
         return -jnp.log(inside) / dt
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
-        kind = req.request_type
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         if kind == AtomicRequestType.SURVIVAL_PROBABILITY:
             return jnp.exp(-state[:, 1])
         if kind == AtomicRequestType.CONDITIONAL_SURVIVAL_PROBABILITY:
-            return self.survival_probability(params, req.time1, req.time2, state[:, 0])
+            return self.survival_probability(params, t1, t2, state[:, 0])
         raise NotImplementedError(f"Request type {kind} not supported by CIRPPModel.")

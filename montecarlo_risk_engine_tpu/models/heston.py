@@ -146,19 +146,17 @@ class HestonModel(Model):
         log_s_next = log_s + rate * dt + k0 + k1 * v + k2 * v_next + vol * z_s
         return jnp.stack([log_s_next, v_next], axis=-1)
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         # heston.py:255-280 — spot from log-state, constant-rate closed forms.
         _, _, rate, *_ = self._unpack(params)
-        kind = req.request_type
         if kind == AtomicRequestType.SPOT:
             return jnp.exp(state[:, 0])
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
-            return jnp.exp(-rate * (req.time1 - self.calibration_date))
+            return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:
-            return jnp.exp(rate * (req.time2 - req.time1))
+            return jnp.exp(rate * (t2 - t1))
         if kind == AtomicRequestType.LIBOR_RATE:
-            accrual = req.time2 - req.time1
-            return (jnp.exp(rate * accrual) - 1.0) / accrual
+            return (jnp.exp(rate * (t2 - t1)) - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
-            return jnp.exp(rate * (req.time1 - self.calibration_date))
+            return jnp.exp(rate * (t1 - self.calibration_date))
         raise NotImplementedError(f"Request type {kind} not supported by HestonModel.")

@@ -137,21 +137,20 @@ class HullWhiteModel(Model):
         var_term = (sigma * sigma / (4.0 * a)) * B * B * (1.0 - jnp.exp(-2.0 * a * dt0))
         return jnp.exp(log_ratio - B * x - var_term)
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
-        kind = req.request_type
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         if kind == AtomicRequestType.SPOT:
             return state[:, 0]
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             # Market discount factor to time1 (deterministic at calibration).
-            return jnp.exp(self._log_p0(req.time1) - self._log_p0(self.calibration_date))
+            return jnp.exp(self._log_p0(t1) - self._log_p0(self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:
             # Conditional bond price P(t1,t2) — consumed as a discount factor
             # by the Bond product, same convention as Vasicek
             # (vasicek.py:141-144).
-            return self.bond_price(params, req.time1, req.time2, state[:, 0])
+            return self.bond_price(params, t1, t2, state[:, 0])
         if kind == AtomicRequestType.LIBOR_RATE:
-            p = self.bond_price(params, req.time1, req.time2, state[:, 0])
-            return (1.0 / p - 1.0) / (req.time2 - req.time1)
+            p = self.bond_price(params, t1, t2, state[:, 0])
+            return (1.0 / p - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
             return jnp.exp(state[:, 1])
         raise NotImplementedError(f"Request type {kind} not supported by HullWhiteModel.")

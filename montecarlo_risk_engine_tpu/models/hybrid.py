@@ -194,8 +194,8 @@ class ModelConfig(Model):
 
     # -- observables --------------------------------------------------------------
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         idx = self.id_to_model[asset_id]
         m = self.models[idx]
         s0, s1 = self._state_offsets[idx], self._state_offsets[idx + 1]
-        return m.resolve_request(self._sub_params(params, idx), req, asset_id, state[:, s0:s1])
+        return m.resolve_obs(self._sub_params(params, idx), kind, asset_id, t1, t2, state[:, s0:s1])

@@ -92,21 +92,20 @@ class VasicekModel(Model):
     def compute_bond_price(self, params, t1, t2, rate_state):
         return self.bond_price(params, t1, t2, rate_state)
 
-    def resolve_request(self, params, req: AtomicRequest, asset_id, state):
+    def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         # vasicek.py:130-156
-        kind = req.request_type
         if kind == AtomicRequestType.SPOT:
             return state[:, 0]
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
-            return self.bond_price(params, self.calibration_date, req.time1, state[:, 0])
+            return self.bond_price(params, self.calibration_date, t1, state[:, 0])
         if kind == AtomicRequestType.FORWARD_RATE:
             # Reference returns the conditional bond price P(t1,t2) here
             # (vasicek.py:141-144) — the Bond product consumes it as a
             # discount factor.
-            return self.bond_price(params, req.time1, req.time2, state[:, 0])
+            return self.bond_price(params, t1, t2, state[:, 0])
         if kind == AtomicRequestType.LIBOR_RATE:
-            p = self.bond_price(params, req.time1, req.time2, state[:, 0])
-            return (1.0 / p - 1.0) / (req.time2 - req.time1)
+            p = self.bond_price(params, t1, t2, state[:, 0])
+            return (1.0 / p - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
             return jnp.exp(state[:, 1])
         raise NotImplementedError(f"Request type {kind} not supported by VasicekModel.")

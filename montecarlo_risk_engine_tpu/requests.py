@@ -15,6 +15,8 @@ import enum
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax.numpy as jnp
+
 
 class AtomicRequestType(enum.Enum):
     SPOT = 1
@@ -180,15 +182,30 @@ class RequestPlan:
         timeline point (the scan's ``ys``).  Returns
         ``[resolved_atomics, resolved_composites]`` — lists indexed by handle,
         each entry an array broadcastable against [N] (state-independent
-        observables stay 0-d to save HBM).
+        observables stay 0-d/1-row to save HBM).
+
+        Resolution is *batched by (asset, kind)*: all SPOT requests on one
+        asset across every time index become a single gather + vmapped closed
+        form, so the compiled graph is O(request groups), not O(handles) —
+        essential for books with thousands of observation dates (SURVEY.md
+        §7.1 "observable schedule").
         """
-        resolved = [None] * self.num_atomic_requests
+        import numpy as np  # local: host-side index arrays only
+
+        groups: Dict[Tuple[str, AtomicRequestType], list] = defaultdict(list)
         for (time_idx, asset_id), reqs in self.atomic_by_label.items():
-            state_t = states[time_idx]
             for req in reqs:
-                resolved[req.handle] = self.model.resolve_request(
-                    params, req, asset_id, state_t
-                )
+                groups[(asset_id, req.request_type)].append((time_idx, req))
+
+        resolved = [None] * self.num_atomic_requests
+        for (asset_id, kind), rows in groups.items():
+            tidx = np.array([r[0] for r in rows])
+            t1s = jnp.asarray([0.0 if r[1].time1 is None else r[1].time1 for r in rows])
+            t2s = jnp.asarray([0.0 if r[1].time2 is None else r[1].time2 for r in rows])
+            states_sel = states[tidx]
+            out = self.model.resolve_request_rows(params, kind, asset_id, t1s, t2s, states_sel)
+            for i, (_, req) in enumerate(rows):
+                resolved[req.handle] = out[i]
 
         resolved_composite = [None] * self.num_composite_requests
         for _, comp_reqs in self.composite_by_time.items():

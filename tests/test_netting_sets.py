@@ -1,0 +1,219 @@
+"""Netting-set semantics: PV additivity, thresholds, MPoR collateral.
+
+Mirrors reference tests/pytests/test_netting_sets.py:27-310 invariants.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_risk_engine_tpu import (
+    BlackScholesModel,
+    BlackScholesMulti,
+    Bond,
+    EPEMetric,
+    Equity,
+    EuropeanOption,
+    NettingSet,
+    OptionType,
+    PFEMetric,
+    PVMetric,
+    RiskMetrics,
+    SimulationController,
+    SimulationScheme,
+    VasicekModel,
+)
+from montecarlo_risk_engine_tpu.config import asarray
+
+
+def test_netting_set_analytical_pv_sums_products():
+    model = BlackScholesModel(0.0, 100.0, 0.05, 0.2)
+    p1 = EuropeanOption(Equity("eq"), 1.0, 90.0, OptionType.CALL)
+    p2 = EuropeanOption(Equity("eq"), 2.0, 110.0, OptionType.CALL)
+    ns = NettingSet(name="equity_ns", products=[p1, p2])
+    controller = SimulationController(
+        netting_sets=[ns],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[PVMetric(evaluation_type=PVMetric.EvaluationType.ANALYTICAL)]),
+        num_paths_mainsim=1,
+        num_paths_presim=0,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    results = controller.run_simulation()
+    params = model.initial_params()
+    expected = float(p1.compute_pv_analytically(model, params)) + float(
+        p2.compute_pv_analytically(model, params)
+    )
+    assert results.get_netting_set_names() == ["equity_ns"]
+    assert float(results.get_results("equity_ns", "pv", evaluation_idx=0)) == pytest.approx(expected)
+
+
+def test_bs_european_exposure_does_not_require_regression():
+    model = BlackScholesMulti(
+        0.0, rate=0.03, asset_ids=["eq1", "eq2"], spots=[100.0, 110.0],
+        volatilities=[0.2, 0.25],
+        correlation_matrix=np.array([[1.0, 0.2], [0.2, 1.0]]),
+    )
+    product = EuropeanOption(Equity("eq1"), 1.0, 100.0, OptionType.CALL, asset_id="eq1")
+    controller = SimulationController(
+        netting_sets=[NettingSet(name="ns", products=[product])],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=[EPEMetric(), PFEMetric(0.95)],
+            exposure_timeline=np.array([0.0, 0.25, 0.5, 0.75, 1.0]),
+        ),
+        num_paths_mainsim=512,
+        num_paths_presim=512,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    assert controller._product_requires_regression(product) is False
+    assert controller.requires_regression is False
+
+
+def test_bs_european_discounted_epe_flat_before_maturity():
+    # Discounted European exposure is a martingale: EPE(t) == PV(0) for t < T
+    # (test_netting_sets.py:130-164).
+    model = BlackScholesMulti(
+        0.0, rate=0.03, asset_ids=["eq1", "eq2"], spots=[100.0, 110.0],
+        volatilities=[0.2, 0.25],
+        correlation_matrix=np.array([[1.0, 0.2], [0.2, 1.0]]),
+    )
+    product = EuropeanOption(Equity("eq1"), 1.0, 100.0, OptionType.CALL, asset_id="eq1")
+    controller = SimulationController(
+        netting_sets=[NettingSet(name="ns", products=[product])],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=[EPEMetric()],
+            exposure_timeline=np.array([0.0, 0.25, 0.5, 0.75, 1.0]),
+        ),
+        num_paths_mainsim=4096,
+        num_paths_presim=4096,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    results = controller.run_simulation()
+    epe = results.get_results("ns", "epe")
+    pv0 = float(product.compute_pv_analytically(model, model.initial_params()))
+    assert np.allclose(epe[:-1], pv0, atol=0.35, rtol=0.0)
+    assert epe[-1] == pytest.approx(0.0, abs=1e-6)
+
+
+def _flat_bond_setup(maturity, tenor, threshold=0.0, mpor=None):
+    model = VasicekModel(
+        0.0, rate=0.0, mean=0.0, mean_reversion_speed=1.0, volatility=1e-8,
+        asset_id="bond",
+    )
+    bond = Bond(
+        startdate=0.0, maturity=maturity, notional=1.0, tenor=tenor,
+        pays_notional=True, fixed_rate=0.0, asset_id="bond",
+    )
+    ns = NettingSet(
+        name="bond_ns", products=[bond], threshold=threshold,
+        margin_period_of_risk=mpor,
+    )
+    return model, ns
+
+
+def test_netting_set_threshold_reduces_exposure_metrics():
+    model, ns = _flat_bond_setup(1.0, 1.0, threshold=0.25)
+    controller = SimulationController(
+        netting_sets=[ns],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=[EPEMetric(), PFEMetric(0.95)],
+            exposure_timeline=np.array([0.0, 0.5]),
+        ),
+        num_paths_mainsim=512,
+        num_paths_presim=512,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    results = controller.run_simulation()
+    assert np.allclose(results.get_results("bond_ns", "epe"), [0.75, 0.75], atol=1e-4)
+    assert np.allclose(results.get_results("bond_ns", "pfe[0.95]"), [0.75, 0.75], atol=1e-4)
+
+
+def test_collateral_profile_uses_exact_delayed_exposure_times():
+    # Pure array-level check of the static-gather collateral path
+    # (test_netting_sets.py:209-260).
+    ns = NettingSet(name="c", products=[EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL)],
+                    margin_period_of_risk=0.5)
+    timeline = (0.0, 0.5, 1.0, 1.5, 2.0)
+    netted = asarray([[0.0, 0.0], [5.0, 10.0], [10.0, 20.0], [15.0, 30.0], [20.0, 40.0]])
+    metric_idx = np.array([0, 2, 4])
+    delayed_idx = np.array([-1, 1, 3])
+
+    collateral = ns.compute_collateral_profile(netted, timeline, metric_idx, delayed_idx)
+    unsecured = ns.compute_unsecured_exposure_profiles(netted, timeline, metric_idx, delayed_idx)
+    assert np.allclose(np.asarray(collateral), [[0.0, 0.0], [5.0, 10.0], [15.0, 30.0]])
+    assert np.allclose(np.asarray(unsecured), [[0.0, 0.0], [5.0, 10.0], [5.0, 10.0]])
+
+
+def test_collateralized_netting_set_uses_delayed_netted_pv():
+    model, ns = _flat_bond_setup(2.0, 1.0, mpor=0.25)
+    controller = SimulationController(
+        netting_sets=[ns],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=[EPEMetric(), PFEMetric(0.95)],
+            exposure_timeline=np.array([0.0, 0.5, 1.0]),
+        ),
+        num_paths_mainsim=512,
+        num_paths_presim=512,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    results = controller.run_simulation()
+    assert np.allclose(results.get_results("bond_ns", "epe"), [1.0, 0.0, 0.0], atol=1e-4)
+    assert np.allclose(results.get_results("bond_ns", "pfe[0.95]"), [1.0, 0.0, 0.0], atol=1e-4)
+
+
+def test_numerical_netted_pv_matches_sum_of_components():
+    corr = np.array([[1.0, 0.4], [0.4, 1.0]])
+
+    def build_model():
+        return BlackScholesMulti(
+            0.0, rate=0.03, asset_ids=["a1", "a2"], spots=[100.0, 105.0],
+            volatilities=[0.20, 0.25], correlation_matrix=corr,
+        )
+
+    def run(products, names):
+        netting_sets = [NettingSet(name=n, products=[p]) for n, p in zip(names, products)]
+        controller = SimulationController(
+            netting_sets=netting_sets,
+            model=build_model(),
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=200_000,
+            num_paths_presim=0,
+            num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+        return controller.run_simulation()
+
+    def make_products():
+        return (
+            EuropeanOption(Equity("a1"), 1.0, 95.0, OptionType.CALL, asset_id="a1"),
+            EuropeanOption(Equity("a2"), 1.5, 110.0, OptionType.CALL, asset_id="a2"),
+        )
+
+    separate = run(make_products(), ["n1", "n2"])
+    pv_sum = float(separate.get_results("n1", "pv", evaluation_idx=0)) + float(
+        separate.get_results("n2", "pv", evaluation_idx=0)
+    )
+
+    p1, p2 = make_products()
+    joint_controller = SimulationController(
+        netting_sets=[NettingSet(name="joint", products=[p1, p2])],
+        model=build_model(),
+        risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+        num_paths_mainsim=200_000,
+        num_paths_presim=0,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    joint = joint_controller.run_simulation()
+    pv_joint = float(joint.get_results("joint", "pv", evaluation_idx=0))
+    # identical paths (same phase/seed) -> exact additivity
+    assert pv_joint == pytest.approx(pv_sum, rel=1e-12)
