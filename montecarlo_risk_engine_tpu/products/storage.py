@@ -131,6 +131,29 @@ class Storage(Product):
         window = self.storage_config.get_volume_constraint(float(date))
         return self._volume_from_state(jnp.asarray(state), window.vmin, window.vmax)
 
+    def compute_next_state(self, date: float, next_date: float, action_type: StorageAction):
+        """Mapping factory: previous grid state -> next grid state
+        (reference storage.py:157-177 API)."""
+        next_window = self.storage_config.get_volume_constraint(next_date)
+
+        def mapping(previous_state):
+            _, next_volume = self._transition(date, next_date, action_type, jnp.asarray(previous_state))
+            return self._state_from_volume(next_volume, next_window.vmin, next_window.vmax)
+
+        return mapping
+
+    def compute_volume_difference(self, date: float, next_date: float, action_type: StorageAction):
+        """Mapping factory: previous grid state -> physical volume change
+        (reference storage.py:179-192 API)."""
+
+        def mapping(previous_state):
+            prev_volume, next_volume = self._transition(
+                date, next_date, action_type, jnp.asarray(previous_state)
+            )
+            return next_volume - prev_volume
+
+        return mapping
+
     # -- interpolating state lookup (storage.py:205-217) ---------------------------
 
     def lookup_state_values(self, values_by_state, state_matrix):

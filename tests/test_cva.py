@@ -1,0 +1,110 @@
+"""CVA on hybrid (rates x credit) models, incl. wrong-way risk ordering.
+
+Mirrors reference tests/pytests/test_cva.py: a zero-coupon corporate bond's
+CVA against the analytic expected loss (1-R)(1-S)P, and the WWR ordering test
+CVA(rho~1) > CVA(rho=0) by > 3 combined standard errors.
+"""
+
+import numpy as np
+import pytest
+
+from montecarlo_risk_engine_tpu import (
+    Bond,
+    CIRPPModel,
+    CVAMetric,
+    InterestRateSwap,
+    IRSType,
+    ModelConfig,
+    NettingSet,
+    RiskMetrics,
+    SimulationController,
+    SimulationScheme,
+    VasicekModel,
+)
+
+HAZARDS = {
+    0.5: 0.006402303360855854,
+    1.0: 0.01553038972325307,
+    2.0: 0.009729741230773657,
+    3.0: 0.015552544648116201,
+    4.0: 0.021196186202801115,
+    5.0: 0.02284319986706472,
+    7.0: 0.010111423894480876,
+    10.0: 0.00613267811172937,
+    15.0: 0.0036969930706003337,
+    20.0: 0.003791311459217732,
+}
+
+CP = "General Motors Co"
+
+
+def _run_cva_swap(rho, num_paths=50_000, maturity=5.0, n_exposure=50):
+    rates = VasicekModel(0.0, rate=0.03, mean=0.05, mean_reversion_speed=0.02,
+                         volatility=0.2, asset_id="irs")
+    credit = CIRPPModel(0.0, asset_id=CP, hazard_rates=HAZARDS, kappa=0.1,
+                        theta=0.01, volatility=0.02, y0=0.0001)
+    model = ModelConfig([rates, credit], inter_asset_correlation_matrix=[np.array([[rho]])])
+    irs = InterestRateSwap(0.0, maturity, notional=1.0, fixed_rate=0.03,
+                           tenor_fixed=0.25, tenor_float=0.25,
+                           irs_type=IRSType.PAYER, asset_id="irs")
+    cva_metric = CVAMetric(counterparty_id=CP, recovery_rate=0.4)
+    controller = SimulationController(
+        netting_sets=[NettingSet(name=irs.get_name(), products=[irs], counterparty_id=CP)],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[cva_metric],
+                                 exposure_timeline=np.linspace(0, maturity, n_exposure)),
+        num_paths_mainsim=num_paths,
+        num_paths_presim=num_paths,
+        num_steps=2,
+        simulation_scheme=SimulationScheme.EULER,
+    )
+    results = controller.run_simulation()
+    name = irs.get_name()
+    return (
+        float(results.get_results(name, cva_metric.get_name(), evaluation_idx=0)),
+        float(results.get_mc_error(name, cva_metric.get_name(), evaluation_idx=0)),
+    )
+
+
+def test_cva_corporate_bond_matches_expected_loss():
+    """Zero-coupon bond, deterministic credit: CVA == (1-R)(1-S)P analytically
+    up to MC error of the exposure leg (test_cva.py:35-111)."""
+    rates = VasicekModel(0.0, rate=0.03, mean=0.05, mean_reversion_speed=1.0,
+                         volatility=0.2, asset_id="bond")
+    credit = CIRPPModel(0.0, asset_id=CP, hazard_rates=HAZARDS, kappa=0.1,
+                        theta=0.01, volatility=0.02, y0=0.0001, deterministic=True)
+    model = ModelConfig([rates, credit], inter_asset_correlation_matrix=[np.array([[0.0]])])
+
+    maturity = 2.0
+    bond = Bond(0.0, maturity, notional=1.0, tenor=maturity, pays_notional=True,
+                fixed_rate=0.0, asset_id="bond")
+    cva_metric = CVAMetric(counterparty_id=CP, recovery_rate=0.4)
+    controller = SimulationController(
+        netting_sets=[NettingSet(name=bond.get_name(), products=[bond], counterparty_id=CP)],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[cva_metric],
+                                 exposure_timeline=np.linspace(0, maturity, 100)),
+        num_paths_mainsim=100_000,
+        num_paths_presim=100_000,
+        num_steps=4,
+        simulation_scheme=SimulationScheme.EULER,
+    )
+    results = controller.run_simulation()
+    cva = float(results.get_results(bond.get_name(), cva_metric.get_name(), evaluation_idx=0))
+    se = float(results.get_mc_error(bond.get_name(), cva_metric.get_name(), evaluation_idx=0))
+
+    rates_params = rates.initial_params()
+    pv_bond = float(rates.bond_price(rates_params, 0.0, maturity, rates_params[0]))
+    from montecarlo_risk_engine_tpu.helpers.cs_helper import probability_of_default
+    survival = 1.0 - float(probability_of_default(credit.hazard_rates, credit.tenors, maturity))
+    expected_loss = (1.0 - 0.4) * (1.0 - survival) * pv_bond
+
+    assert abs(cva - expected_loss) < max(4.0 * se, 2e-4), (cva, expected_loss, se)
+
+
+def test_cva_wwr_payer_swap_ordering():
+    cva_wwr, se_wwr = _run_cva_swap(0.99999)
+    cva_uncorr, se_uncorr = _run_cva_swap(0.0)
+    diff = cva_wwr - cva_uncorr
+    se_diff = (se_wwr**2 + se_uncorr**2) ** 0.5
+    assert diff > 3.0 * se_diff, (cva_wwr, cva_uncorr, se_diff)
