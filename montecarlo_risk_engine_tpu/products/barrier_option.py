@@ -122,21 +122,30 @@ class BarrierOption(Product):
         above_min = compute_degree_of_truth(min_spot - barrier, True)
         return _survival_weight(barrier_type, below_max, above_min)
 
-    def _bridge_hit_prob(self, spots, barrier, sigma, uniforms):
+    def _bridge_hit_prob(self, spots, barrier, sigma, uniforms, is_fuzzy):
         # Per-interval crossing probability of a Brownian bridge in log space
         # (barrier_option.py:152-176); overall hit = 1 - prod(1 - p_i).
+        #
+        # Deliberate deviation: the reference always smooths the
+        # bridge-vs-uniform comparison with width 0.05
+        # (barrier_option.py:176), which injects ~1.25% spurious hit mass per
+        # interval (a large bias for fine monitoring grids — their pytests
+        # never enable bridge mode).  Here the indicator is hard unless
+        # differentiation requires smoothing, like every other policy/indicator
+        # smoothing in the engine (model.py:83-90).
         n_obs = spots.shape[1]
         dt = self.maturity / n_obs
         log_ratio = jnp.log(spots / barrier)
         bridge = jnp.exp(-2.0 * log_ratio[:, :-1] * log_ratio[:, 1:] / (sigma * sigma * dt))
-        hit_probs = compute_degree_of_truth(bridge - uniforms, True)
+        hit_probs = compute_degree_of_truth(bridge - uniforms, is_fuzzy)
         return 1.0 - jnp.prod(1.0 - hit_probs, axis=1)
 
     def payoff(self, spots, model, params, bridge_uniforms=None):
         vanilla = self._vanilla_payoff(spots[:, -1])
         if self.use_brownian_bridge:
             sigma = params[1]  # BS-family volatility (barrier_option.py:151)
-            hit1 = self._bridge_hit_prob(spots, self.barrier1, sigma, bridge_uniforms[0])
+            is_fuzzy = bool(getattr(model, "perform_smoothing", False))
+            hit1 = self._bridge_hit_prob(spots, self.barrier1, sigma, bridge_uniforms[0], is_fuzzy)
             max_spot = jnp.max(spots, axis=1)
             min_spot = jnp.min(spots, axis=1)
             below_max = compute_degree_of_truth(self.barrier1 - max_spot, True)
@@ -145,7 +154,7 @@ class BarrierOption(Product):
                 self.barrier_option_type1, below_max, above_min, hit1
             )
             if self.barrier2 is not None and self.barrier_option_type2 is not None:
-                hit2 = self._bridge_hit_prob(spots, self.barrier2, sigma, bridge_uniforms[1])
+                hit2 = self._bridge_hit_prob(spots, self.barrier2, sigma, bridge_uniforms[1], is_fuzzy)
                 below_max2 = compute_degree_of_truth(self.barrier2 - max_spot, True)
                 above_min2 = compute_degree_of_truth(min_spot - self.barrier2, True)
                 payoff = payoff * _survival_weight(
