@@ -1,0 +1,465 @@
+"""Family-batched product executors for large books.
+
+The reference evaluates every product in a Python loop (controller.py:571-591)
+— fine for CPU torch, but on TPU a 50k-product book must not unroll 50k
+subgraphs.  Products are grouped by family + static signature and evaluated as
+single table-driven kernels (SURVEY.md §7.1 "group products by family"):
+
+  * terminal stateless payoffs (European/Binary/Basket/Asian/Barrier on
+    spot observables) become one vectorised payoff over [P, ...] tables;
+  * Bermudan/FlexiCall exercise machines become ONE lax.scan over exercise
+    events with a product-batched carry C[P, N, S] — both the LSM backward
+    fit (batched Gram solves) and the forward valuation.
+
+All tables (strikes, signs, time indices) are host numpy arrays that enter
+the graph as constants; per-product work is one gather row, so the compiled
+program is O(product groups), not O(products).
+
+Scope: discounted-cashflow (PV) primitives.  Exposure-profile books route
+through the per-product executors.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_risk_engine_tpu.config import asarray, real_dtype
+from montecarlo_risk_engine_tpu.products.asian_option import AsianAveragingType, AsianOption
+from montecarlo_risk_engine_tpu.products.barrier_option import BarrierOption, BarrierOptionType
+from montecarlo_risk_engine_tpu.products.base import OptionType
+from montecarlo_risk_engine_tpu.products.basket_option import BasketOption, BasketOptionType
+from montecarlo_risk_engine_tpu.products.bermudan_option import BermudanOption
+from montecarlo_risk_engine_tpu.products.binary_option import BinaryOption
+from montecarlo_risk_engine_tpu.products.equity import Equity
+from montecarlo_risk_engine_tpu.products.european_option import EuropeanOption
+from montecarlo_risk_engine_tpu.products.flexicall import FlexiCall
+from montecarlo_risk_engine_tpu.requests import AtomicRequestType
+from montecarlo_risk_engine_tpu.utils.maths import compute_degree_of_truth
+
+
+class ObservableTables:
+    """Lazy per-run tables of resolved observables keyed by (kind, asset).
+
+    One ``resolve_request_rows`` call per (asset, unique-time-set) — shared by
+    every batch in the book.
+    """
+
+    def __init__(self, model, params, states, num_paths):
+        self.model = model
+        self.params = params
+        self.states = states
+        self.num_paths = num_paths
+        self._cache: Dict[Tuple, object] = {}
+
+    def rows(self, kind, asset_id: str, tidx: np.ndarray, times: np.ndarray):
+        """Resolved observable rows [len(tidx), N] for (kind, asset)."""
+        key = (kind, asset_id, tuple(tidx.tolist()), tuple(np.round(times, 12).tolist()))
+        if key not in self._cache:
+            t1 = asarray(times)
+            t2 = jnp.zeros_like(t1)
+            out = self.model.resolve_request_rows(
+                self.params, kind, asset_id, t1, t2, self.states[tidx]
+            )
+            if out.ndim == 1:
+                out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))
+            self._cache[key] = out
+        return self._cache[key]
+
+
+def _unique_rows(tidx_flat: np.ndarray, times_flat: np.ndarray):
+    uniq, inverse = np.unique(tidx_flat, return_inverse=True)
+    time_for_uniq = np.zeros(len(uniq))
+    time_for_uniq[inverse] = times_flat
+    return uniq, inverse, time_for_uniq
+
+
+class TerminalBatch:
+    """Shared machinery for stateless terminal-payoff families."""
+
+    def __init__(self, products: Sequence, ns_idx: np.ndarray, time_to_index):
+        self.products = list(products)
+        self.ns_idx = np.asarray(ns_idx)
+        self.time_to_index = time_to_index
+
+    def _spot_matrix(self, tables: ObservableTables, asset_ids, tidx_mat, times_mat):
+        """Gather spots: per-product per-observation rows -> [P, O, N].
+
+        asset_ids: per-product asset (str) [P]; tidx/times [P, O].
+        """
+        out_rows = np.empty(tidx_mat.shape, dtype=int)
+        pieces = []
+        offset = 0
+        order = defaultdict(list)
+        for p, a in enumerate(asset_ids):
+            order[a].append(p)
+        for a, rows_p in order.items():
+            rows_p = np.array(rows_p)
+            flat_tidx = tidx_mat[rows_p].ravel()
+            flat_times = times_mat[rows_p].ravel()
+            uniq, inverse, time_u = _unique_rows(flat_tidx, flat_times)
+            table = tables.rows(AtomicRequestType.SPOT, a, uniq, time_u)
+            pieces.append(table)
+            out_rows[rows_p] = (offset + inverse).reshape(len(rows_p), -1)
+            offset += len(uniq)
+        full = jnp.concatenate(pieces, axis=0)
+        return full[out_rows]  # [P, O, N]
+
+    def _numeraires(self, tables: ObservableTables, tidx: np.ndarray, times: np.ndarray):
+        uniq, inverse, time_u = _unique_rows(tidx, times)
+        table = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", uniq, time_u)
+        return table[inverse]  # [P, N]
+
+
+class EuropeanEquityBatch(TerminalBatch):
+    """All EuropeanOption-on-Equity products in one payoff kernel."""
+
+    @staticmethod
+    def accepts(product) -> bool:
+        return isinstance(product, EuropeanOption) and isinstance(product.underlying, Equity)
+
+    @staticmethod
+    def group_key(product):
+        return ("european_equity",)
+
+    def cashflows(self, tables: ObservableTables):
+        prods = self.products
+        tidx = np.array([self.time_to_index[p.exercise_date] for p in prods])
+        times = np.array([p.exercise_date for p in prods])
+        assets = [p.underlying.get_asset_id() for p in prods]
+        strikes = asarray([p.strike for p in prods])[:, None]
+        signs = asarray([1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods])[:, None]
+
+        spots = self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :]
+        numeraire = self._numeraires(tables, tidx, times)
+        return jnp.maximum(signs * (spots - strikes), 0.0) / numeraire
+
+
+class BinaryBatch(TerminalBatch):
+    @staticmethod
+    def accepts(product) -> bool:
+        return isinstance(product, BinaryOption)
+
+    @staticmethod
+    def group_key(product):
+        return ("binary",)
+
+    def cashflows(self, tables: ObservableTables):
+        prods = self.products
+        tidx = np.array([self.time_to_index[p.maturity] for p in prods])
+        times = np.array([p.maturity for p in prods])
+        assets = [p.get_asset_id() for p in prods]
+        strikes = asarray([p.strike for p in prods])[:, None]
+        amounts = asarray([p.payment_amount for p in prods])[:, None]
+        is_call = asarray([1.0 if p.option_type == OptionType.CALL else 0.0 for p in prods])[:, None]
+
+        spots = self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :]
+        numeraire = self._numeraires(tables, tidx, times)
+        above = compute_degree_of_truth(spots - strikes, True, 1.0)
+        payoff = amounts * (is_call * above + (1.0 - is_call) * (1.0 - above))
+        return payoff / numeraire
+
+
+class BasketBatch(TerminalBatch):
+    @staticmethod
+    def accepts(product) -> bool:
+        return isinstance(product, BasketOption) and not product.use_variation_reduction
+
+    @staticmethod
+    def group_key(product):
+        return ("basket", len(product.asset_ids))
+
+    def cashflows(self, tables: ObservableTables):
+        prods = self.products
+        n_assets = len(prods[0].asset_ids)
+        tidx = np.array([self.time_to_index[p.maturity] for p in prods])
+        times = np.array([p.maturity for p in prods])
+        strikes = asarray([p.strike for p in prods])[:, None]
+        signs = asarray([1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods])[:, None]
+        weights = asarray([p.weights for p in prods])  # [P, A]
+        is_geo = np.array([p.basket_option_type == BasketOptionType.GEOMETRIC for p in prods])
+
+        # Per (product, asset) spot rows at each product's maturity.
+        spot_cols = []
+        for a_pos in range(n_assets):
+            assets = [p.asset_ids[a_pos] for p in prods]
+            spot_cols.append(self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :])
+        spots = jnp.stack(spot_cols, axis=1)  # [P, A, N]
+
+        arith = jnp.einsum("pan,pa->pn", spots, weights)
+        geo = jnp.exp(jnp.einsum("pan,pa->pn", jnp.log(spots + 1e-10), weights))
+        basket = jnp.where(asarray(is_geo)[:, None], geo, arith)
+        numeraire = self._numeraires(tables, tidx, times)
+        return jnp.maximum(signs * (basket - strikes), 0.0) / numeraire
+
+
+class AsianBatch(TerminalBatch):
+    @staticmethod
+    def accepts(product) -> bool:
+        return isinstance(product, AsianOption)
+
+    @staticmethod
+    def group_key(product):
+        return ("asian", len(product.modeling_timeline))
+
+    def cashflows(self, tables: ObservableTables):
+        prods = self.products
+        tidx_mat = np.array([[self.time_to_index[t] for t in p.modeling_timeline] for p in prods])
+        times_mat = np.array([list(p.modeling_timeline) for p in prods])
+        assets = [p.get_asset_id() for p in prods]
+        strikes = asarray([p.strike for p in prods])[:, None]
+        signs = asarray([1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods])[:, None]
+        is_geo = np.array(
+            [p.averaging_type == AsianAveragingType.GEOMETRIC for p in prods]
+        )
+
+        spots = self._spot_matrix(tables, assets, tidx_mat, times_mat)  # [P, O, N]
+        arith = jnp.mean(spots, axis=1)
+        geo = jnp.exp(jnp.mean(jnp.log(spots + 1e-10), axis=1))
+        average = jnp.where(asarray(is_geo)[:, None], geo, arith)
+        numeraire = self._numeraires(
+            tables, tidx_mat[:, -1], times_mat[:, -1]
+        )
+        return jnp.maximum(signs * (average - strikes), 0.0) / numeraire
+
+
+class BarrierBatch(TerminalBatch):
+    @staticmethod
+    def accepts(product) -> bool:
+        return isinstance(product, BarrierOption) and not product.use_brownian_bridge
+
+    @staticmethod
+    def group_key(product):
+        return ("barrier", len(product.modeling_timeline), product.barrier2 is not None)
+
+    @staticmethod
+    def _weight_arrays(prods, attr_type, attr_level):
+        is_up = np.array([
+            getattr(p, attr_type) in (BarrierOptionType.UPANDOUT, BarrierOptionType.UPANDIN)
+            for p in prods
+        ])
+        is_out = np.array([
+            getattr(p, attr_type) in (BarrierOptionType.UPANDOUT, BarrierOptionType.DOWNANDOUT)
+            for p in prods
+        ])
+        levels = np.array([getattr(p, attr_level) for p in prods])
+        return asarray(is_up)[:, None], asarray(is_out)[:, None], asarray(levels)[:, None]
+
+    def _barrier_weight(self, spots, is_up, is_out, level):
+        max_spot = jnp.max(spots, axis=1)
+        min_spot = jnp.min(spots, axis=1)
+        below_max = compute_degree_of_truth(level - max_spot, True)
+        above_min = compute_degree_of_truth(min_spot - level, True)
+        survive = jnp.where(is_up, below_max, above_min)
+        return jnp.where(is_out, survive, 1.0 - survive)
+
+    def cashflows(self, tables: ObservableTables):
+        prods = self.products
+        tidx_mat = np.array([[self.time_to_index[t] for t in p.modeling_timeline] for p in prods])
+        times_mat = np.array([list(p.modeling_timeline) for p in prods])
+        assets = [p.get_asset_id() for p in prods]
+        strikes = asarray([p.strike for p in prods])[:, None]
+        signs = asarray([1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods])[:, None]
+
+        spots = self._spot_matrix(tables, assets, tidx_mat, times_mat)  # [P, O, N]
+        vanilla = jnp.maximum(signs * (spots[:, -1, :] - strikes), 0.0)
+
+        up1, out1, lvl1 = self._weight_arrays(prods, "barrier_option_type1", "barrier1")
+        payoff = vanilla * self._barrier_weight(spots, up1, out1, lvl1)
+        if prods[0].barrier2 is not None:
+            up2, out2, lvl2 = self._weight_arrays(prods, "barrier_option_type2", "barrier2")
+            payoff = payoff * self._barrier_weight(spots, up2, out2, lvl2)
+
+        numeraire = self._numeraires(tables, tidx_mat[:, -1], times_mat[:, -1])
+        return payoff / numeraire
+
+
+class ExerciseEquityBatch(TerminalBatch):
+    """Product-batched LSM for Bermudan/FlexiCall on Equity underlyings.
+
+    Backward fit and forward valuation both run as ONE lax.scan over the E
+    exercise events with all P products in the carry — batched Gram solves
+    replace per-product lstsq, and the exercise decision is vectorised over
+    [P, N, S].
+    """
+
+    def __init__(self, products, ns_idx, time_to_index, regression_function):
+        super().__init__(products, ns_idx, time_to_index)
+        self.regression_function = regression_function
+        self.is_flexi = isinstance(products[0], FlexiCall)
+        self.num_states = max(p.get_num_states() for p in products)
+        self._coeffs = None  # [E, P, S, deg], set by fit()
+
+    @staticmethod
+    def accepts(product) -> bool:
+        if isinstance(product, FlexiCall):
+            return all(isinstance(o.underlying, Equity) for o in product.underlyings)
+        if isinstance(product, BermudanOption):
+            und = product.underlying_requests[0].underlying_asset
+            return isinstance(und, Equity)
+        return False
+
+    @staticmethod
+    def group_key(product):
+        kind = "flexi" if isinstance(product, FlexiCall) else "bermudan"
+        return ("exercise", kind, len(product.product_timeline))
+
+    # -- shared table building ------------------------------------------------
+
+    def _event_tables(self, tables: ObservableTables):
+        prods = self.products
+        tidx_mat = np.array([[self.time_to_index[t] for t in p.product_timeline] for p in prods])
+        times_mat = np.array([list(p.product_timeline) for p in prods])
+        assets = [p.get_asset_id() for p in prods]
+        strikes = np.array([p.scan_event_strikes() for p in prods])  # [P, E]
+        if self.is_flexi:
+            signs = np.array([
+                1.0 if p.underlyings[0].option_type == OptionType.CALL else -1.0 for p in prods
+            ])
+        else:
+            signs = np.array([
+                1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods
+            ])
+
+        spots = self._spot_matrix(tables, assets, tidx_mat, times_mat)  # [P, E, N]
+        num_flat = self._numeraires(tables, tidx_mat.ravel(), times_mat.ravel())
+        numeraires = num_flat.reshape(spots.shape)  # [P, E, N]
+        return (
+            jnp.swapaxes(spots, 0, 1),        # [E, P, N]
+            jnp.swapaxes(numeraires, 0, 1),   # [E, P, N]
+            asarray(strikes).T,               # [E, P]
+            asarray(signs),                   # [P]
+        )
+
+    def _basis(self, x):
+        # [..., N] -> [..., N, deg]
+        degree = self.regression_function.degree
+        return jnp.stack([x**k for k in range(degree + 1)], axis=-1)
+
+    def _fit(self, basis, targets):
+        # basis [P, N, deg], targets [P, N, S] -> coeffs [P, S, deg]
+        gram = jnp.einsum("pnd,pne->pde", basis, basis)
+        deg = basis.shape[-1]
+        scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
+        gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+        rhs = jnp.einsum("pnd,pns->pds", basis, targets)
+        return jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
+
+    @staticmethod
+    def _shift_down(values):
+        """values[..., s] -> values[..., max(s-1, 0)] along the state axis."""
+        return jnp.concatenate([values[..., :1], values[..., :-1]], axis=-1)
+
+    def _hypothetical_step(self, carry, spots_e, num_e, strike_e, signs, coeffs):
+        """One backward event on the all-states carry C [P, N, S]."""
+        basis = self._basis(spots_e)                             # [P, N, deg]
+        grid = jnp.einsum("pnd,psd->pns", basis, coeffs)          # [P, N, S]
+        immediate = jnp.maximum(
+            signs[:, None] * (spots_e - strike_e[:, None]), 0.0
+        )[:, :, None]                                            # [P, N, 1]
+        s_positive = (jnp.arange(self.num_states) > 0)[None, None, :]
+        if self.is_flexi:
+            cont_ex = self._shift_down(grid)
+            exercised = (immediate + cont_ex > grid) & s_positive
+        else:
+            exercised = (immediate > grid) & s_positive
+        cfs = immediate * exercised.astype(real_dtype()) / num_e[:, :, None]
+        tail = jnp.where(exercised, self._shift_down(carry), carry)
+        return cfs + tail
+
+    def fit(self, tables: ObservableTables):
+        spots, numeraires, strikes, signs = self._event_tables(tables)
+        num_paths = tables.num_paths
+        P = len(self.products)
+        S = self.num_states
+
+        def body(carry, xs):
+            spots_e, num_e, strike_e = xs
+            basis = self._basis(spots_e)
+            coeffs = self._fit(basis, num_e[:, :, None] * carry)
+            carry = self._hypothetical_step(carry, spots_e, num_e, strike_e, signs, coeffs)
+            return carry, coeffs
+
+        c0 = jnp.zeros((P, num_paths, S), dtype=real_dtype())
+        _, coeffs = jax.lax.scan(body, c0, (spots, numeraires, strikes), reverse=True)
+        self._coeffs = coeffs  # [E, P, S, deg]
+
+    def cashflows(self, tables: ObservableTables):
+        spots, numeraires, strikes, signs = self._event_tables(tables)
+        num_paths = tables.num_paths
+        P = len(self.products)
+        coeffs = self._coeffs
+
+        init_state = np.array([p.get_initial_state() for p in self.products])
+        state0 = jnp.broadcast_to(
+            jnp.asarray(init_state)[:, None], (P, num_paths)
+        ).astype(int)
+
+        def body(carry, xs):
+            state, cfs = carry
+            spots_e, num_e, strike_e, coeffs_e = xs
+            basis = self._basis(spots_e)                       # [P, N, deg]
+            c_state = jax.vmap(lambda c, s: c[s])(coeffs_e, state)   # [P, N, deg]
+            cont_hold = jnp.sum(basis * c_state, axis=-1)
+            immediate = jnp.maximum(signs[:, None] * (spots_e - strike_e[:, None]), 0.0)
+            if self.is_flexi:
+                state_after = jnp.maximum(state - 1, 0)
+                c_after = jax.vmap(lambda c, s: c[s])(coeffs_e, state_after)
+                cont_ex = jnp.sum(basis * c_after, axis=-1)
+                exercised = (immediate + cont_ex > cont_hold) & (state > 0)
+            else:
+                exercised = (immediate > cont_hold) & (state > 0)
+            cfs = cfs + immediate * exercised.astype(real_dtype()) / num_e
+            state = state - exercised.astype(int)
+            return (state, cfs), None
+
+        (state, cfs), _ = jax.lax.scan(
+            body,
+            (state0, jnp.zeros((P, num_paths), dtype=real_dtype())),
+            (spots, numeraires, strikes, coeffs),
+        )
+        return cfs
+
+
+BATCH_CLASSES = [
+    EuropeanEquityBatch,
+    BinaryBatch,
+    BasketBatch,
+    AsianBatch,
+    BarrierBatch,
+    ExerciseEquityBatch,
+]
+
+
+def plan_batches(products, product_to_ns_idx, time_to_index, regression_function):
+    """Partition products into batched groups and per-product leftovers.
+
+    Returns (batches, batched_product_ids).
+    """
+    groups: Dict[tuple, List[int]] = defaultdict(list)
+    group_cls: Dict[tuple, type] = {}
+    for idx, product in enumerate(products):
+        for cls in BATCH_CLASSES:
+            if cls.accepts(product):
+                key = (cls.__name__,) + tuple(cls.group_key(product))
+                groups[key].append(idx)
+                group_cls[key] = cls
+                break
+
+    batches = []
+    batched_ids = set()
+    for key, indices in groups.items():
+        cls = group_cls[key]
+        prods = [products[i] for i in indices]
+        ns_idx = np.array([product_to_ns_idx[i] for i in indices])
+        if cls is ExerciseEquityBatch:
+            batch = cls(prods, ns_idx, time_to_index, regression_function)
+        else:
+            batch = cls(prods, ns_idx, time_to_index)
+        batches.append(batch)
+        batched_ids.update(id(products[i]) for i in indices)
+    return batches, batched_ids

@@ -79,6 +79,7 @@ class SimulationController:
         regression_function: Optional[RegressionFunction] = None,
         root_seed: int = 0,
         path_sharding=None,
+        batch_products: bool = True,
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -150,6 +151,29 @@ class SimulationController:
         self.requires_regression = any(
             self._product_requires_regression(p) for p in self.products
         )
+
+        # Family-batched executors: one table-driven kernel per product group
+        # instead of per-product subgraphs (api/batching.py).  Enabled for
+        # discounted-cashflow books; exposure-profile books use the
+        # per-product executors.
+        self._batches = []
+        self._batched_ids = set()
+        if batch_products and not self.risk_metrics.requires_exposure_profiles():
+            from montecarlo_risk_engine_tpu.api.batching import plan_batches
+
+            time_to_index = {t: i for i, t in enumerate(self.simulation_timeline)}
+            batchable = [
+                p if not self._can_skip_monte_carlo_for_product(p) else None
+                for p in self.products
+            ]
+            products_f = [p for p in batchable if p is not None]
+            ns_f = [
+                self.product_to_netting_set_idx[i]
+                for i, p in enumerate(batchable) if p is not None
+            ]
+            self._batches, self._batched_ids = plan_batches(
+                products_f, ns_f, time_to_index, self.regression_function
+            )
 
         # Trace-local buffers (assigned inside the traced pipeline).
         self._exposure_reg_coeffs: Dict[int, object] = {}
@@ -578,7 +602,7 @@ class SimulationController:
             )
         return metric_results
 
-    def _evaluate_products(self, params, resolved):
+    def _evaluate_products(self, params, resolved, states=None):
         num_exposure_dates = len(self.exposure_timeline)
         accumulators = []
         for _ in self.netting_sets:
@@ -599,8 +623,29 @@ class SimulationController:
         ]
         has_pathwise = [False] * len(self.netting_sets)
 
+        # Family-batched groups: one kernel per group, per-netting-set
+        # aggregation via segment-sum.
+        if self._batches and states is not None:
+            from montecarlo_risk_engine_tpu.api.batching import ObservableTables
+
+            tables = ObservableTables(self.model, params, states, self.num_paths_mainsim)
+            for batch in self._batches:
+                cfs_batch = batch.cashflows(tables)  # [P, N]
+                seg = jax.ops.segment_sum(
+                    cfs_batch, jnp.asarray(batch.ns_idx),
+                    num_segments=len(self.netting_sets),
+                )
+                for ns_idx in set(batch.ns_idx.tolist()):
+                    has_pathwise[ns_idx] = True
+                    accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
+                        accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS]
+                        + seg[ns_idx]
+                    )
+
         for prod_idx, product in enumerate(self.products):
             ns_idx = self.product_to_netting_set_idx[prod_idx]
+            if id(product) in self._batched_ids:
+                continue
             if self._can_skip_monte_carlo_for_product(product):
                 for metric_idx, metric in enumerate(self.risk_metrics.metrics):
                     value = metric.evaluate_analytically(
@@ -646,7 +691,18 @@ class SimulationController:
                 root_seed=self.root_seed, path_sharding=self.path_sharding,
             )
             resolved_pre = plan.resolve_requests(params, states_pre)
+            if self._batches:
+                from montecarlo_risk_engine_tpu.api.batching import ObservableTables
+
+                tables_pre = ObservableTables(
+                    self.model, params, states_pre, self.num_paths_presim
+                )
+                for batch in self._batches:
+                    if hasattr(batch, "fit"):
+                        batch.fit(tables_pre)
             for product in self.products:
+                if id(product) in self._batched_ids:
+                    continue
                 if self._product_requires_regression(product):
                     if self._supports_exercise_scan(product):
                         self._regression_exercise_scan(product, params, resolved_pre)
@@ -659,7 +715,7 @@ class SimulationController:
             root_seed=self.root_seed, path_sharding=self.path_sharding,
         )
         resolved = plan.resolve_requests(params, states)
-        return self._evaluate_products(params, resolved)
+        return self._evaluate_products(params, resolved, states)
 
     def _flatten(self, nested):
         values, errors = [], []
@@ -675,32 +731,45 @@ class SimulationController:
 
     # -- public entry point (controller.py:663-709) ------------------------------------------
 
+    def _build_jitted(self):
+        """Build (once) and cache the jitted value/gradient/Hessian pipelines
+        so repeated run_simulation() calls reuse the compiled executables."""
+        if getattr(self, "_jitted_values", None) is None:
+            def flat_fn(p):
+                return self._flatten(self._compute(p))
+
+            self._flat_fn = flat_fn
+            self._jitted_values = jax.jit(flat_fn)
+            self._jitted_grads = jax.jit(jax.jacrev(lambda p: flat_fn(p)[0]))
+            self._jitted_hessians = jax.jit(
+                jax.jacfwd(jax.jacrev(lambda p: flat_fn(p)[0]))
+            )
+
     def run_simulation(self) -> SimulationResults:
         t0 = time.perf_counter()
-        self._plan = RequestPlan(self.model)
-        self._plan.collect_and_index_requests(
-            self.products,
-            self.simulation_timeline,
-            self._get_requests(),
-            self.metric_exposure_timeline,
-        )
+        if self._plan is None:
+            self._plan = RequestPlan(self.model)
+            self._plan.collect_and_index_requests(
+                self.products,
+                self.simulation_timeline,
+                self._get_requests(),
+                self.metric_exposure_timeline,
+            )
         params = tuple(self.model.initial_params())
-
-        def flat_fn(p):
-            return self._flatten(self._compute(p))
+        self._build_jitted()
 
         t1 = time.perf_counter()
-        values, errors = jax.jit(flat_fn)(params)
+        values, errors = self._jitted_values(params)
         values.block_until_ready()
         t2 = time.perf_counter()
 
         grads = None
         hessians = None
         if self.differentiate:
-            grads = jax.jit(jax.jacrev(lambda p: flat_fn(p)[0]))(params)
+            grads = self._jitted_grads(params)
             jax.block_until_ready(grads)
             if self.requires_higher_order_derivatives:
-                hessians = jax.jit(jax.jacfwd(jax.jacrev(lambda p: flat_fn(p)[0])))(params)
+                hessians = self._jitted_hessians(params)
                 jax.block_until_ready(hessians)
         t3 = time.perf_counter()
 

@@ -1,0 +1,109 @@
+"""Family-batched executors must reproduce the per-product path exactly.
+
+Same paths, same RNG, same regression math — only the evaluation layout
+changes, so PVs agree to float64 roundoff.
+"""
+
+import numpy as np
+import pytest
+
+from montecarlo_risk_engine_tpu import (
+    AmericanOption,
+    AsianAveragingType,
+    AsianOption,
+    BarrierOption,
+    BarrierOptionType,
+    BasketOption,
+    BasketOptionType,
+    BermudanOption,
+    BinaryOption,
+    BlackScholesMulti,
+    Equity,
+    EuropeanOption,
+    NettingSet,
+    OptionType,
+    PVMetric,
+    RiskMetrics,
+    SimulationController,
+    SimulationScheme,
+)
+from montecarlo_risk_engine_tpu.products.flexicall import FlexiCall
+
+
+def _model():
+    corr = np.array([[1.0, 0.35], [0.35, 1.0]])
+    return BlackScholesMulti(
+        0.0, rate=0.03, asset_ids=["a0", "a1"], spots=[95.0, 102.5],
+        volatilities=[0.18, 0.21], correlation_matrix=corr,
+    )
+
+
+def _mixed_book():
+    products = []
+    for i in range(6):
+        a = f"a{i % 2}"
+        products.append(EuropeanOption(Equity(a), 0.5 + 0.25 * i, 90.0 + 5 * i,
+                                       OptionType.CALL if i % 2 else OptionType.PUT, asset_id=a))
+    for i in range(3):
+        a = f"a{i % 2}"
+        products.append(BinaryOption(0.5 + 0.5 * i, 95.0 + 5 * i, 8.0 + i,
+                                     OptionType.CALL if i % 2 else OptionType.PUT, asset_id=a))
+    for i in range(3):
+        products.append(BasketOption(0.75 + 0.5 * i, ["a0", "a1"], [0.6, 0.4], 95.0 + 2 * i,
+                                     OptionType.CALL,
+                                     BasketOptionType.GEOMETRIC if i == 1 else BasketOptionType.ARITHMETIC))
+    for i in range(3):
+        a = f"a{i % 2}"
+        products.append(AsianOption(0.0, 1.0 + 0.5 * i, 90.0 + 4 * i, 8, OptionType.CALL,
+                                    AsianAveragingType.GEOMETRIC if i == 2 else AsianAveragingType.ARITHMETIC,
+                                    asset_id=a))
+    for i in range(3):
+        a = f"a{i % 2}"
+        products.append(BarrierOption(0.0, 1.0 + 0.25 * i, 90.0 + 5 * i, 12,
+                                      OptionType.CALL if i % 2 else OptionType.PUT,
+                                      125.0 + 5 * i, BarrierOptionType.UPANDOUT, asset_id=a))
+    for i in range(3):
+        a = f"a{i % 2}"
+        products.append(BermudanOption(Equity(a), [0.5, 1.0, 1.5], 95.0 + 5 * i,
+                                       OptionType.PUT if i % 2 else OptionType.CALL, asset_id=a))
+    for i in range(2):
+        a = f"a{i % 2}"
+        unds = [EuropeanOption(Equity(a), t, 92.0 + 4 * i, OptionType.CALL, asset_id=a)
+                for t in (0.5, 1.0, 1.5)]
+        products.append(FlexiCall(unds, num_exercise_rights=1 + i, asset_id=a))
+    for i in range(2):
+        a = f"a{i % 2}"
+        products.append(AmericanOption(Equity(a), 1.0, 7, 95.0 + 5 * i, OptionType.PUT, asset_id=a))
+    return products
+
+
+def _run(batch_products):
+    products = _mixed_book()
+    n = len(products)
+    ns1 = NettingSet(name="book_a", products=products[: n // 2])
+    ns2 = NettingSet(name="book_b", products=products[n // 2 :])
+    controller = SimulationController(
+        netting_sets=[ns1, ns2],
+        model=_model(),
+        risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+        num_paths_mainsim=2048,
+        num_paths_presim=2048,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+        batch_products=batch_products,
+    )
+    results = controller.run_simulation()
+    return (
+        float(results.get_results("book_a", "pv", evaluation_idx=0)),
+        float(results.get_results("book_b", "pv", evaluation_idx=0)),
+        controller,
+    )
+
+
+def test_batched_matches_per_product():
+    pv_a_batched, pv_b_batched, controller = _run(True)
+    # every product family in the book is covered by a batch
+    assert len(controller._batched_ids) == len(controller.products)
+    pv_a_plain, pv_b_plain, _ = _run(False)
+    assert pv_a_batched == pytest.approx(pv_a_plain, rel=1e-10)
+    assert pv_b_batched == pytest.approx(pv_b_plain, rel=1e-10)
