@@ -1,0 +1,167 @@
+"""Fused Pallas TPU path-generation kernels.
+
+The jnp engine (engine/engine.py) spends ~75% of Heston-QE path-generation
+time in threefry bit generation (measured: 42ms of 57ms for 40M path-steps on
+v5e).  These kernels fuse the whole trajectory into one Pallas program per
+path block:
+
+  * hardware PRNG (`pltpu.prng_seed` / `prng_random_bits`) replaces threefry;
+  * normals come from Box–Muller on hardware uniform bits;
+  * the state never leaves VMEM between sub-steps — HBM traffic is only the
+    per-timeline-point emission;
+  * all model parameters ride in SMEM; per-interval dts are compile-time
+    constants (static timeline), so the step loop fully unrolls.
+
+Determinism: draws are a pure function of (seed, block index); they are a
+*different* (equally valid) stream from the threefry engine, so kernel paths
+are statistically — not bitwise — equivalent to the jnp engine's.
+
+Scope: forward path generation (no AAD) — the speed path for valuation and
+exposure runs where gradients are not requested.  Differentiated runs use the
+jnp engine.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_TWO_PI = 2.0 * math.pi
+
+
+def _uniforms(shape):
+    """U(0,1) in (0, 1): top 24 bits of hardware random words."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    # logical (not arithmetic) shift keeps the top 24 bits non-negative;
+    # int32 -> f32 is the only supported Mosaic cast here.
+    top24 = jax.lax.shift_right_logical(bits, 8)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _normal_pair(shape):
+    """Two independent N(0,1) arrays via Box–Muller."""
+    u1 = _uniforms(shape)
+    u2 = _uniforms(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, spot, sigma, rate, rho, kappa, theta):
+    """One Andersen-QE update — same math as HestonModel.step_qe
+    (models/heston.py), specialised to f32 VPU arrays."""
+    eps = 1e-12
+    ekt = math.exp(-kappa * dt) if isinstance(dt, float) else jnp.exp(-kappa * dt)
+
+    m = theta + (v - theta) * ekt
+    s2 = (
+        v * sigma * sigma * ekt * (1.0 - ekt) / kappa
+        + theta * sigma * sigma * (1.0 - ekt) ** 2 / (2.0 * kappa)
+    )
+    psi = s2 / (m * m + eps)
+
+    inv_psi = 1.0 / (psi + eps)
+    tail = jnp.maximum(2.0 * inv_psi - 1.0, 0.0)
+    b2 = jnp.maximum(2.0 * inv_psi - 1.0 + jnp.sqrt(2.0 * inv_psi) * jnp.sqrt(tail), 0.0)
+    a = m / (1.0 + b2)
+    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+
+    p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-6)
+    beta = (1.0 - p) / (m + eps)
+    v_tail = jnp.log(jnp.maximum(1.0 - p, eps) / jnp.maximum(1.0 - u, eps)) / (beta + eps)
+    v_exp = jnp.where(u > p, v_tail, 0.0)
+
+    v_next = jnp.where(psi > 1.5, v_exp, v_quad)
+
+    gamma1 = 1.0
+    k0 = -rho * kappa * theta / sigma * dt
+    k1 = (kappa * rho / sigma - 0.5) * gamma1 * dt - rho / sigma
+    k2 = rho / sigma
+    k3 = (1.0 - rho * rho) * gamma1 * dt
+
+    var_int = jnp.maximum(k3 * v, 0.0)
+    vol = jnp.sqrt(jnp.maximum(var_int, eps))
+    log_s_next = log_s + rate * dt + k0 + k1 * v + k2 * v_next + vol * z_s
+    return log_s_next, v_next
+
+
+def heston_qe_paths(
+    params,
+    timeline: Sequence[float],
+    num_paths: int,
+    num_steps: int,
+    seed: int = 0,
+    calibration_date: float = 0.0,
+    rows_per_block: int = 256,
+):
+    """Generate Heston QE states at timeline points: returns [T, N, 2] f32.
+
+    num_paths must be a multiple of rows_per_block * 128.
+    """
+    spot, sigma, rate, rho, kappa, theta, v0 = (float(p) for p in params)
+    block_paths = rows_per_block * _LANES
+    if num_paths % block_paths:
+        raise ValueError(f"num_paths must be a multiple of {block_paths}")
+    n_blocks = num_paths // block_paths
+    total_rows = num_paths // _LANES
+
+    points = [float(t) for t in timeline]
+    t_prev = float(calibration_date)
+    intervals = []
+    for t in points:
+        intervals.append((t - t_prev) / num_steps)
+        t_prev = t
+    num_points = len(points)
+
+    def kernel(seed_ref, logs_ref, v_ref):
+        block = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + block)
+        shape = (rows_per_block, _LANES)
+        log_s = jnp.full(shape, math.log(spot), dtype=jnp.float32)
+        v = jnp.full(shape, v0, dtype=jnp.float32)
+
+        for point in range(num_points):
+            dt = intervals[point]
+            if dt > 0.0:
+                for _ in range(num_steps):
+                    z_s, z_v = _normal_pair(shape)
+                    u = _uniforms(shape)
+                    log_s, v = _heston_qe_substep(
+                        log_s, v, z_s, z_v, u, dt,
+                        spot, sigma, rate, rho, kappa, theta,
+                    )
+            logs_ref[point] = log_s
+            v_ref[point] = v
+
+    out_shape = jax.ShapeDtypeStruct((num_points, total_rows, _LANES), jnp.float32)
+    logs, vs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(
+                (num_points, rows_per_block, _LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_points, rows_per_block, _LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(out_shape, out_shape),
+    )(jnp.asarray([seed], dtype=jnp.int32))
+
+    states = jnp.stack(
+        [logs.reshape(num_points, num_paths), vs.reshape(num_points, num_paths)],
+        axis=-1,
+    )
+    return states
