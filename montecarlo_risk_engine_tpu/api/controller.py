@@ -360,9 +360,10 @@ class SimulationController:
         prod_time_to_idx = {t: i for i, t in enumerate(product.product_timeline)}
         times = sorted(set(product.product_timeline) | set(self.exposure_timeline))
         strikes = product.scan_event_strikes()
+        extras = product.scan_event_extras()  # [Tp, ...] pytree or None
 
         expl_rows, num_rows, und_rows = [], [], []
-        strike_rows, is_prod_rows = [], []
+        strike_rows, is_prod_rows, extras_idx = [], [], []
         prod_rows, exp_rows, exp_slots = [], [], []
         zeros = jnp.zeros((num_paths,), dtype=real_dtype())
 
@@ -371,9 +372,13 @@ class SimulationController:
                 i = prod_time_to_idx[t]
                 expl = resolved[0][product.spot_requests[(i, asset)].handle]
                 num = resolved[0][product.numeraire_requests[i].handle]
-                und = resolved[1][product.underlying_requests[i].get_handle()]
+                if i in product.underlying_requests:
+                    und = resolved[1][product.underlying_requests[i].get_handle()]
+                else:
+                    und = zeros
                 strike_rows.append(strikes[i])
                 is_prod_rows.append(True)
+                extras_idx.append(i)
                 prod_rows.append(row)
             else:
                 expl = resolved[0][self.spot_requests[(t, asset)].handle]
@@ -381,12 +386,20 @@ class SimulationController:
                 und = zeros
                 strike_rows.append(0.0)
                 is_prod_rows.append(False)
+                # arbitrary valid parameter row; the step result is discarded
+                # by the is_prod mask
+                extras_idx.append(0)
             if t in self._exposure_time_to_idx:
                 exp_rows.append(row)
                 exp_slots.append(self._exposure_time_to_idx[t])
             expl_rows.append(jnp.broadcast_to(expl, (num_paths,)))
             num_rows.append(jnp.broadcast_to(num, (num_paths,)))
             und_rows.append(jnp.broadcast_to(und, (num_paths,)))
+
+        extras_events = None
+        if extras is not None:
+            idx = np.array(extras_idx)
+            extras_events = jax.tree_util.tree_map(lambda a: a[idx], extras)
 
         xs = (
             jnp.stack(expl_rows),
@@ -395,11 +408,14 @@ class SimulationController:
             asarray(strike_rows),
             jnp.asarray(is_prod_rows),
         )
-        return xs, np.array(prod_rows), np.array(exp_rows), np.array(exp_slots, dtype=int)
+        return (
+            xs, extras_events,
+            np.array(prod_rows), np.array(exp_rows), np.array(exp_slots, dtype=int),
+        )
 
     def _regression_exercise_scan(self, product: Product, params, resolved) -> None:
         num_paths = self.num_paths_presim
-        xs, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
+        xs, extras, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
             product, resolved, num_paths
         )
         num_states = product.get_num_states()
@@ -407,18 +423,28 @@ class SimulationController:
         state0 = self._initial_hypothetical_state(product, num_paths)
 
         def body(carry, event):
-            expl, num, und, strike, is_prod = event
+            (expl, num, und, strike, is_prod), extras_e = event
             basis = regfn.get_regression_matrix(expl)
             coeffs = fit_least_squares(basis, num[:, None] * carry)
-            next_state, cfs = product.scan_exercise_step(
-                regfn, state0, und, expl, num, strike, coeffs
-            )
+            if extras_e is None:
+                next_state, cfs = product.scan_exercise_step(
+                    regfn, state0, und, expl, num, strike, coeffs
+                )
+            else:
+                next_state, cfs = product.scan_exercise_step(
+                    regfn, state0, und, expl, num, strike, coeffs, extras_e
+                )
             updated = cfs + product.lookup_state_values(carry, next_state)
             carry = jnp.where(is_prod, updated, carry)
             return carry, coeffs
 
         c0 = jnp.zeros((num_paths, num_states), dtype=real_dtype())
-        _, coeffs_all = jax.lax.scan(body, c0, xs, reverse=True)
+        if extras is None:
+            _, coeffs_all = jax.lax.scan(
+                lambda c, e: body(c, (e, None)), c0, xs, reverse=True
+            )
+        else:
+            _, coeffs_all = jax.lax.scan(body, c0, (xs, extras), reverse=True)
 
         product.regression_coeffs = coeffs_all[prod_rows]
         exposure_coeffs = jnp.zeros(
@@ -432,7 +458,7 @@ class SimulationController:
 
     def _evaluate_exercise_scan(self, product: Product, params, resolved):
         num_paths = self.num_paths_mainsim
-        xs, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
+        xs, extras, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
             product, resolved, num_paths
         )
         coeffs_all = self._scan_coeffs[product.product_id]
@@ -442,10 +468,15 @@ class SimulationController:
 
         def body(carry, event):
             state, cfs = carry
-            expl, num, und, strike, is_prod, coeffs = event
-            next_state, step_cfs = product.scan_exercise_step(
-                regfn, state, und, expl, num, strike, coeffs
-            )
+            (expl, num, und, strike, is_prod, coeffs), extras_e = event
+            if extras_e is None:
+                next_state, step_cfs = product.scan_exercise_step(
+                    regfn, state, und, expl, num, strike, coeffs
+                )
+            else:
+                next_state, step_cfs = product.scan_exercise_step(
+                    regfn, state, und, expl, num, strike, coeffs, extras_e
+                )
             state = jnp.where(is_prod, next_state, state)
             cfs = cfs + jnp.where(is_prod, step_cfs[:, 0], 0.0)
             continuation = product.compute_continuation_values(
@@ -454,10 +485,15 @@ class SimulationController:
             )[:, 0]
             return (state, cfs), continuation / num
 
-        (final_state, cfs), exposures_all = jax.lax.scan(
-            body, (state0, jnp.zeros((num_paths,), dtype=real_dtype())),
-            xs + (coeffs_all,),
-        )
+        carry0 = (state0, jnp.zeros((num_paths,), dtype=real_dtype()))
+        if extras is None:
+            (final_state, cfs), exposures_all = jax.lax.scan(
+                lambda c, e: body(c, (e, None)), carry0, xs + (coeffs_all,)
+            )
+        else:
+            (final_state, cfs), exposures_all = jax.lax.scan(
+                body, carry0, (xs + (coeffs_all,), extras)
+            )
         if len(self.exposure_timeline) and len(exp_rows):
             order = np.argsort(exp_slots)
             exposures = exposures_all[exp_rows[order]]

@@ -193,6 +193,14 @@ class Product:
         cashflows already numeraire-deflated (product.py:190-198)."""
         raise NotImplementedError
 
+    # -- scan-executor protocol ---------------------------------------------------
+
+    def scan_event_extras(self):
+        """Optional pytree of [num_product_dates, ...] arrays of per-date
+        static parameters consumed by scan_exercise_step (Storage uses this
+        for volume windows / ramp curves / costs).  None when unused."""
+        return None
+
     # -- analytic hooks (product.py:200-217) --------------------------------------
 
     def compute_pv_analytically(self, model, params):

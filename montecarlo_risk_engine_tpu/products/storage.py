@@ -16,6 +16,7 @@ from __future__ import annotations
 import enum
 
 import jax.numpy as jnp
+import numpy as np
 
 from montecarlo_risk_engine_tpu.config import asarray, real_dtype
 from montecarlo_risk_engine_tpu.products.base import Product, ProductFamily
@@ -164,6 +165,102 @@ class Storage(Product):
         lower_vals = jnp.take_along_axis(values_by_state, lower, axis=1)
         upper_vals = jnp.take_along_axis(values_by_state, upper, axis=1)
         return lower_vals + weight * (upper_vals - lower_vals)
+
+    # -- scan fast path ---------------------------------------------------------
+    #
+    # All per-date static configuration is exported as stacked arrays so the
+    # controller can run the whole DP through one lax.scan (same machinery as
+    # Bermudan/FlexiCall; per-date rows arrive as traced "extras").
+
+    def scan_event_strikes(self):
+        return [0.0] * len(self.product_timeline)
+
+    def _padded_curves(self, slices):
+        max_pts = max(len(s) for s in slices)
+        pts = np.full((len(slices), max_pts), 0.0)
+        rates = np.full((len(slices), max_pts), 0.0)
+        for i, s in enumerate(slices):
+            p = [rp.point for rp in s]
+            r = [rp.rate for rp in s]
+            # pad by repeating the last point (flat extrapolation unchanged)
+            while len(p) < max_pts:
+                p.append(p[-1] + 1.0 + len(p))
+                r.append(r[-1])
+            pts[i] = p
+            rates[i] = r
+        return asarray(pts), asarray(rates)
+
+    def scan_event_extras(self):
+        cfg = self.storage_config
+        dates = self.product_timeline
+        next_dates = self.next_action_dates
+        prev_win = [cfg.get_volume_constraint(d) for d in dates]
+        next_win = [cfg.get_volume_constraint(d) for d in next_dates]
+        inj_pts, inj_rates = self._padded_curves(
+            [cfg.get_injection_flexibility_slice(d) for d in dates]
+        )
+        wd_pts, wd_rates = self._padded_curves(
+            [cfg.get_withdrawal_flexibility_slice(d) for d in dates]
+        )
+        return {
+            "prev_vmin": asarray([w.vmin for w in prev_win]),
+            "prev_vmax": asarray([w.vmax for w in prev_win]),
+            "next_vmin": asarray([w.vmin for w in next_win]),
+            "next_vmax": asarray([w.vmax for w in next_win]),
+            "inj_pts": inj_pts,
+            "inj_rates": inj_rates,
+            "wd_pts": wd_pts,
+            "wd_rates": wd_rates,
+            "inj_cost": asarray([cfg.get_variable_injection_cost(d) for d in dates]),
+            "wd_cost": asarray([cfg.get_variable_withdrawal_cost(d) for d in dates]),
+            "period": asarray([max(n - d, 0.0) for d, n in zip(dates, next_dates)]),
+            "is_last": asarray([
+                1.0 if n >= self.end_date - DATE_TOL else 0.0 for n in next_dates
+            ]),
+        }
+
+    def scan_exercise_step(
+        self, regression_function, state_matrix, underlying_value,
+        explanatory, numeraire, strike, coeffs, extras,
+    ):
+        spot_col = jnp.broadcast_to(explanatory[:, None], state_matrix.shape)
+        s_minus_1 = self.num_states - 1.0
+
+        prev_span = extras["prev_vmax"] - extras["prev_vmin"]
+        prev_vol = extras["prev_vmin"] + state_matrix.astype(real_dtype()) * prev_span / s_minus_1
+        next_span = jnp.maximum(extras["next_vmax"] - extras["next_vmin"], 1e-30)
+
+        inj_rate = jnp.interp(prev_vol, extras["inj_pts"], extras["inj_rates"])
+        wd_rate = jnp.interp(prev_vol, extras["wd_pts"], extras["wd_rates"])
+
+        inj_vol = jnp.minimum(prev_vol + inj_rate * extras["period"], extras["next_vmax"])
+        wd_vol = jnp.maximum(prev_vol - wd_rate * extras["period"], extras["next_vmin"])
+        hold_vol = jnp.clip(prev_vol, extras["next_vmin"], extras["next_vmax"])
+
+        vols = (inj_vol, hold_vol, wd_vol)
+        states = [
+            (v - extras["next_vmin"]) * s_minus_1 / next_span for v in vols
+        ]
+        deltas = [v - prev_vol for v in vols]
+        hold_price = jnp.where(
+            deltas[1] >= 0.0, spot_col + extras["inj_cost"], spot_col - extras["wd_cost"]
+        )
+        payoffs = [
+            -deltas[0] * (spot_col + extras["inj_cost"]),
+            -deltas[1] * hold_price,
+            -deltas[2] * (spot_col - extras["wd_cost"]),
+        ]
+
+        grid = self.evaluate_regression_grid(explanatory, regression_function, coeffs)
+        continuations = [
+            (1.0 - extras["is_last"]) * self.lookup_state_values(grid, s) for s in states
+        ]
+
+        action_values = jnp.stack([p + c for p, c in zip(payoffs, continuations)], axis=2)
+        best = jnp.argmax(action_values, axis=2, keepdims=True)
+        next_state = jnp.take_along_axis(jnp.stack(states, axis=2), best, axis=2)[:, :, 0]
+        cashflows = jnp.take_along_axis(jnp.stack(payoffs, axis=2), best, axis=2)[:, :, 0]
+        return next_state, cashflows / numeraire[:, None]
 
     # -- per-date DP step (storage.py:219-308) ---------------------------------------
 
