@@ -87,6 +87,23 @@ class HestonModel(Model):
         v_next = jnp.maximum(v_next, 0.0)
         return jnp.stack([log_s_next, v_next], axis=-1)
 
+    def step_milstein(self, params, t1, t2, state, corr_noise):
+        # Milstein refinement of the variance leg: adds 0.25 sigma^2 (dW^2-dt)
+        # (the log-spot leg has state-independent diffusion given v, so its
+        # Milstein term vanishes).  Not present in the reference (quirk Q1).
+        _, sigma, rate, _, kappa, theta, _ = self._unpack(params)
+        dt = t2 - t1
+        log_s, v = state[:, 0], state[:, 1]
+        sqrt_v = jnp.sqrt(jnp.maximum(v, 0.0))
+        sqrt_dt = jnp.sqrt(dt)
+        dw_v = sqrt_dt * corr_noise[:, 1]
+        log_s_next = log_s + (rate - 0.5 * v) * dt + sqrt_v * sqrt_dt * corr_noise[:, 0]
+        v_next = (
+            v + kappa * (theta - v) * dt + sigma * sqrt_v * dw_v
+            + 0.25 * sigma * sigma * (dw_v * dw_v - dt)
+        )
+        return jnp.stack([log_s_next, jnp.maximum(v_next, 0.0)], axis=-1)
+
     def _cir_conditional_moments(self, params, v, dt):
         # E[v_{t+dt}|v_t] and Var[v_{t+dt}|v_t] for the CIR variance
         # (heston.py:123-143).

@@ -35,9 +35,6 @@ def _pv(use_scan: bool) -> float:
         long_term_drift=0.01, long_term_vol=0.2, rho=0.3, asset_id="gas",
     )
     product = _build_storage()
-    if not use_scan:
-        # removing the scan hook forces the generic unrolled executor
-        del product.scan_exercise_step
     controller = SimulationController(
         netting_sets=[NettingSet(name="s", products=[product])],
         model=model,
@@ -46,7 +43,11 @@ def _pv(use_scan: bool) -> float:
         num_paths_presim=4000,
         num_steps=1,
         simulation_scheme=SimulationScheme.ANALYTICAL,
+        batch_products=use_scan,
     )
+    if not use_scan:
+        # force the generic unrolled executor
+        controller._supports_exercise_scan = lambda p: False
     return float(controller.run_simulation().get_results("s", "pv", evaluation_idx=0))
 
 
