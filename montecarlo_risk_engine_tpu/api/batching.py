@@ -15,8 +15,14 @@ All tables (strikes, signs, time indices) are host numpy arrays that enter
 the graph as constants; per-product work is one gather row, so the compiled
 program is O(product groups), not O(products).
 
-Scope: discounted-cashflow (PV) primitives.  Exposure-profile books route
-through the per-product executors.
+Exposure profiles are batched too:
+  * terminal products regress their (masked) terminal cashflow on the
+    explanatory spot with ONE shared Gram matrix per (asset, exposure date)
+    and a multi-RHS solve across all products on that asset;
+  * exercise products run merged (product dates + exposure dates) event scans
+    with per-product flag arrays, emitting realized-state continuations.
+Per-netting-set aggregation happens inside the per-date loops, so nothing of
+shape [T_exp, P, N] is materialised for large P.
 """
 
 from __future__ import annotations
@@ -78,6 +84,19 @@ def _unique_rows(tidx_flat: np.ndarray, times_flat: np.ndarray):
     return uniq, inverse, time_for_uniq
 
 
+class ExposureContext:
+    """Static exposure-pipeline data shared by all batches in a run."""
+
+    def __init__(self, exposure_timeline, time_to_index, num_netting_sets,
+                 spot_requests, numeraire_requests, regression_function):
+        self.exposure_timeline = tuple(exposure_timeline)  # internal timeline
+        self.time_to_index = time_to_index
+        self.num_netting_sets = num_netting_sets
+        self.spot_requests = spot_requests            # controller (t, asset) -> req
+        self.numeraire_requests = numeraire_requests  # controller (t, "numeraire") -> req
+        self.regression_function = regression_function
+
+
 class TerminalBatch:
     """Shared machinery for stateless terminal-payoff families."""
 
@@ -85,6 +104,85 @@ class TerminalBatch:
         self.products = list(products)
         self.ns_idx = np.asarray(ns_idx)
         self.time_to_index = time_to_index
+        self._exp_coeffs = None  # [T_exp, P, deg] after fit_exposure
+
+    def maturities(self) -> np.ndarray:
+        """Per-product cashflow date (terminal families have exactly one)."""
+        return np.array([p.product_timeline[-1] for p in self.products])
+
+    def explanatory_assets(self):
+        """Per-product explanatory asset: the first asset id (quirk Q9 —
+        single-factor regression, controller.py:361,366)."""
+        return [p.asset_ids[0] for p in self.products]
+
+    def fit_exposure(self, tables: ObservableTables, ctx: ExposureContext) -> None:
+        """Regress masked terminal cashflows on the explanatory spot.
+
+        One shared Gram per (asset, date); multi-RHS solve over all products
+        on that asset (distributed-LSM normal equations, SURVEY.md §5.8).
+        """
+        regfn = ctx.regression_function
+        deg = regfn.get_degree()
+        cf_norm = self.cashflows(tables)          # [P, N] normalized terminal cfs
+        maturities = self.maturities()
+        assets = self.explanatory_assets()
+        P = len(self.products)
+        num_paths = tables.num_paths
+
+        by_asset = defaultdict(list)
+        for p_idx, a in enumerate(assets):
+            by_asset[a].append(p_idx)
+
+        coeffs_rows = []
+        for t in ctx.exposure_timeline:
+            tidx = np.array([self.time_to_index[t]])
+            times = np.array([t])
+            numeraire = self._numeraires(tables, tidx, times)[0]
+            coeffs_t = jnp.zeros((P, deg), dtype=real_dtype())
+            for a, p_rows in by_asset.items():
+                p_rows = np.array(p_rows)
+                expl = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0]
+                basis = regfn.get_regression_matrix(expl)       # [N, deg]
+                gram = jnp.matmul(basis.T, basis, precision="highest")
+                scale = jnp.trace(gram) / deg
+                gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+                mask = asarray(maturities[p_rows] > t)          # strictly-future cfs
+                targets = (cf_norm[p_rows] * numeraire[None, :] * mask[:, None]).T  # [N, Pa]
+                sol = jnp.linalg.solve(
+                    gram, jnp.matmul(basis.T, targets, precision="highest")
+                )  # [deg, Pa]
+                coeffs_t = coeffs_t.at[p_rows].set(sol.T)
+            coeffs_rows.append(coeffs_t)
+        self._exp_coeffs = jnp.stack(coeffs_rows)  # [T_exp, P, deg]
+
+    def exposure_contributions(self, tables: ObservableTables, ctx: ExposureContext):
+        """Per-netting-set exposure profiles [T_exp, n_ns, N]."""
+        regfn = ctx.regression_function
+        assets = self.explanatory_assets()
+        by_asset = defaultdict(list)
+        for p_idx, a in enumerate(assets):
+            by_asset[a].append(p_idx)
+
+        rows = []
+        ns_seg = jnp.asarray(self.ns_idx)
+        for t_pos, t in enumerate(ctx.exposure_timeline):
+            tidx = np.array([self.time_to_index[t]])
+            times = np.array([t])
+            numeraire = self._numeraires(tables, tidx, times)[0]
+            acc = jnp.zeros((ctx.num_netting_sets, tables.num_paths), dtype=real_dtype())
+            for a, p_rows in by_asset.items():
+                p_rows = np.array(p_rows)
+                expl = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0]
+                basis = regfn.get_regression_matrix(expl)              # [N, deg]
+                coeffs = self._exp_coeffs[t_pos, p_rows]               # [Pa, deg]
+                exposure = jnp.matmul(
+                    basis, coeffs.T, precision="highest"
+                ).T / numeraire[None, :]                               # [Pa, N]
+                acc = acc + jax.ops.segment_sum(
+                    exposure, ns_seg[p_rows], num_segments=ctx.num_netting_sets
+                )
+            rows.append(acc)
+        return jnp.stack(rows)  # [T_exp, n_ns, N]
 
     def _spot_matrix(self, tables: ObservableTables, asset_ids, tidx_mat, times_mat):
         """Gather spots: per-product per-observation rows -> [P, O, N].
@@ -118,6 +216,11 @@ class TerminalBatch:
 class EuropeanEquityBatch(TerminalBatch):
     """All EuropeanOption-on-Equity products in one payoff kernel."""
 
+    # Set by the controller when the analytic discounted-exposure fast path
+    # applies (BS-family model + metrics in {PV, EPE, PFE}, controller.py:211).
+    use_analytic_exposure = False
+    analytic_model = None
+
     @staticmethod
     def accepts(product) -> bool:
         return isinstance(product, EuropeanOption) and isinstance(product.underlying, Equity)
@@ -137,6 +240,68 @@ class EuropeanEquityBatch(TerminalBatch):
         spots = self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :]
         numeraire = self._numeraires(tables, tidx, times)
         return jnp.maximum(signs * (spots - strikes), 0.0) / numeraire
+
+    # -- analytic exposure fast path (european_option.py:123-145, batched) ----
+
+    def fit_exposure(self, tables, ctx):
+        if self.use_analytic_exposure:
+            return  # closed form needs no pre-simulation fit
+        super().fit_exposure(tables, ctx)
+
+    def exposure_contributions(self, tables: ObservableTables, ctx: ExposureContext):
+        if not self.use_analytic_exposure:
+            return super().exposure_contributions(tables, ctx)
+
+        from jax.scipy.special import ndtr
+
+        model = self.analytic_model
+        params = tables.params
+        prods = self.products
+        assets = self.explanatory_assets()
+        maturities = self.maturities()
+        strikes = asarray([p.strike for p in prods])
+        is_call = np.array([p.option_type == OptionType.CALL for p in prods])
+
+        by_asset = defaultdict(list)
+        for p_idx, a in enumerate(assets):
+            by_asset[a].append(p_idx)
+
+        if model.num_assets > 1:
+            rate = params[2 * model.num_assets]
+            vol_of = {a: params[model.num_assets + model.asset_ids.index(a)]
+                      for a in set(assets)}
+        else:
+            rate = params[2]
+            vol_of = {a: params[1] for a in set(assets)}
+
+        ns_seg = jnp.asarray(self.ns_idx)
+        rows = []
+        for t in ctx.exposure_timeline:
+            tidx = np.array([self.time_to_index[t]])
+            times = np.array([t])
+            numeraire = self._numeraires(tables, tidx, times)[0]
+            acc = jnp.zeros((ctx.num_netting_sets, tables.num_paths), dtype=real_dtype())
+            for a, p_rows in by_asset.items():
+                p_rows = np.array(p_rows)
+                taus = maturities[p_rows] - t
+                alive = taus > 0.0
+                tau = asarray(np.where(alive, taus, 1.0))[:, None]
+                spot = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0][None, :]
+                sigma = vol_of[a]
+                k = strikes[p_rows][:, None]
+                sqrt_tau = jnp.sqrt(tau)
+                d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
+                d2 = d1 - sigma * sqrt_tau
+                disc_k = k * jnp.exp(-rate * tau)
+                call = spot * ndtr(d1) - disc_k * ndtr(d2)
+                put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
+                price = jnp.where(asarray(is_call[p_rows])[:, None], call, put)
+                price = price * asarray(alive)[:, None] / numeraire[None, :]
+                acc = acc + jax.ops.segment_sum(
+                    price, ns_seg[p_rows], num_segments=ctx.num_netting_sets
+                )
+            rows.append(acc)
+        return jnp.stack(rows)
 
 
 class BinaryBatch(TerminalBatch):
@@ -310,12 +475,18 @@ class ExerciseEquityBatch(TerminalBatch):
 
     # -- shared table building ------------------------------------------------
 
-    def _event_tables(self, tables: ObservableTables):
+    def _event_tables(self, tables: ObservableTables, ctx: Optional[ExposureContext]):
+        """Merged per-product event tables.
+
+        Each product's events = its exercise dates (is_prod) followed, in time
+        order with product-first tie-breaking, by every exposure date
+        (is_exp).  All products share the uniform event count
+        E_tot = E + T_exp; interleavings differ per product, which is fine
+        because the scan body is flag-driven.
+        """
         prods = self.products
-        tidx_mat = np.array([[self.time_to_index[t] for t in p.product_timeline] for p in prods])
-        times_mat = np.array([list(p.product_timeline) for p in prods])
-        assets = [p.get_asset_id() for p in prods]
-        strikes = np.array([p.scan_event_strikes() for p in prods])  # [P, E]
+        exposure_times = list(ctx.exposure_timeline) if ctx is not None else []
+        strikes_per_prod = [p.scan_event_strikes() for p in prods]
         if self.is_flexi:
             signs = np.array([
                 1.0 if p.underlyings[0].option_type == OptionType.CALL else -1.0 for p in prods
@@ -325,14 +496,40 @@ class ExerciseEquityBatch(TerminalBatch):
                 1.0 if p.option_type == OptionType.CALL else -1.0 for p in prods
             ])
 
-        spots = self._spot_matrix(tables, assets, tidx_mat, times_mat)  # [P, E, N]
+        e_tot = len(prods[0].product_timeline) + len(exposure_times)
+        P = len(prods)
+        times_mat = np.zeros((P, e_tot))
+        tidx_mat = np.zeros((P, e_tot), dtype=int)
+        strike_mat = np.zeros((P, e_tot))
+        is_prod = np.zeros((P, e_tot), dtype=bool)
+        exp_row_idx = np.zeros((len(exposure_times), P), dtype=int)
+
+        for p_idx, p in enumerate(prods):
+            events = [(t, 1, strikes_per_prod[p_idx][i], -1)
+                      for i, t in enumerate(p.product_timeline)]
+            events += [(t, 0, 0.0, s) for s, t in enumerate(exposure_times)]
+            # product events first on date ties (step-then-observe,
+            # controller.py:417-447)
+            events.sort(key=lambda e: (e[0], -e[1]))
+            for row, (t, flag, strike, slot) in enumerate(events):
+                times_mat[p_idx, row] = t
+                tidx_mat[p_idx, row] = self.time_to_index[t]
+                strike_mat[p_idx, row] = strike
+                is_prod[p_idx, row] = bool(flag)
+                if slot >= 0:
+                    exp_row_idx[slot, p_idx] = row
+
+        assets = [p.get_asset_id() for p in prods]
+        spots = self._spot_matrix(tables, assets, tidx_mat, times_mat)  # [P, E_tot, N]
         num_flat = self._numeraires(tables, tidx_mat.ravel(), times_mat.ravel())
-        numeraires = num_flat.reshape(spots.shape)  # [P, E, N]
+        numeraires = num_flat.reshape(spots.shape)
         return (
-            jnp.swapaxes(spots, 0, 1),        # [E, P, N]
-            jnp.swapaxes(numeraires, 0, 1),   # [E, P, N]
-            asarray(strikes).T,               # [E, P]
+            jnp.swapaxes(spots, 0, 1),        # [E_tot, P, N]
+            jnp.swapaxes(numeraires, 0, 1),   # [E_tot, P, N]
+            asarray(strike_mat).T,            # [E_tot, P]
+            jnp.asarray(is_prod).T,           # [E_tot, P]
             asarray(signs),                   # [P]
+            exp_row_idx,                      # [T_exp, P] host ints
         )
 
     def _basis(self, x):
@@ -342,11 +539,11 @@ class ExerciseEquityBatch(TerminalBatch):
 
     def _fit(self, basis, targets):
         # basis [P, N, deg], targets [P, N, S] -> coeffs [P, S, deg]
-        gram = jnp.einsum("pnd,pne->pde", basis, basis)
+        gram = jnp.einsum("pnd,pne->pde", basis, basis, precision="highest")
         deg = basis.shape[-1]
         scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
         gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-        rhs = jnp.einsum("pnd,pns->pds", basis, targets)
+        rhs = jnp.einsum("pnd,pns->pds", basis, targets, precision="highest")
         return jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
 
     @staticmethod
@@ -371,25 +568,31 @@ class ExerciseEquityBatch(TerminalBatch):
         tail = jnp.where(exercised, self._shift_down(carry), carry)
         return cfs + tail
 
-    def fit(self, tables: ObservableTables):
-        spots, numeraires, strikes, signs = self._event_tables(tables)
+    def fit(self, tables: ObservableTables, ctx: Optional[ExposureContext] = None):
+        spots, numeraires, strikes, is_prod, signs, _ = self._event_tables(tables, ctx)
         num_paths = tables.num_paths
         P = len(self.products)
         S = self.num_states
 
         def body(carry, xs):
-            spots_e, num_e, strike_e = xs
+            spots_e, num_e, strike_e, is_prod_e = xs
             basis = self._basis(spots_e)
             coeffs = self._fit(basis, num_e[:, :, None] * carry)
-            carry = self._hypothetical_step(carry, spots_e, num_e, strike_e, signs, coeffs)
+            stepped = self._hypothetical_step(carry, spots_e, num_e, strike_e, signs, coeffs)
+            carry = jnp.where(is_prod_e[:, None, None], stepped, carry)
             return carry, coeffs
 
         c0 = jnp.zeros((P, num_paths, S), dtype=real_dtype())
-        _, coeffs = jax.lax.scan(body, c0, (spots, numeraires, strikes), reverse=True)
-        self._coeffs = coeffs  # [E, P, S, deg]
+        _, coeffs = jax.lax.scan(
+            body, c0, (spots, numeraires, strikes, is_prod), reverse=True
+        )
+        self._coeffs = coeffs  # [E_tot, P, S, deg]
 
-    def cashflows(self, tables: ObservableTables):
-        spots, numeraires, strikes, signs = self._event_tables(tables)
+    def evaluate(self, tables: ObservableTables, ctx: Optional[ExposureContext] = None):
+        """Forward sweep: returns (cfs [P, N], exposures [T_exp, P, N] | None)."""
+        spots, numeraires, strikes, is_prod, signs, exp_row_idx = self._event_tables(
+            tables, ctx
+        )
         num_paths = tables.num_paths
         P = len(self.products)
         coeffs = self._coeffs
@@ -401,7 +604,7 @@ class ExerciseEquityBatch(TerminalBatch):
 
         def body(carry, xs):
             state, cfs = carry
-            spots_e, num_e, strike_e, coeffs_e = xs
+            spots_e, num_e, strike_e, is_prod_e, coeffs_e = xs
             basis = self._basis(spots_e)                       # [P, N, deg]
             c_state = jax.vmap(lambda c, s: c[s])(coeffs_e, state)   # [P, N, deg]
             cont_hold = jnp.sum(basis * c_state, axis=-1)
@@ -413,16 +616,28 @@ class ExerciseEquityBatch(TerminalBatch):
                 exercised = (immediate + cont_ex > cont_hold) & (state > 0)
             else:
                 exercised = (immediate > cont_hold) & (state > 0)
+            exercised = exercised & is_prod_e[:, None]
             cfs = cfs + immediate * exercised.astype(real_dtype()) / num_e
             state = state - exercised.astype(int)
-            return (state, cfs), None
+            # realized-state continuation for exposure rows (re-read after the
+            # step: observe-after-advance, controller.py:417-447)
+            c_state2 = jax.vmap(lambda c, s: c[s])(coeffs_e, state)
+            exposure = jnp.sum(basis * c_state2, axis=-1) / num_e
+            return (state, cfs), exposure
 
-        (state, cfs), _ = jax.lax.scan(
+        (state, cfs), exposures_all = jax.lax.scan(
             body,
             (state0, jnp.zeros((P, num_paths), dtype=real_dtype())),
-            (spots, numeraires, strikes, coeffs),
+            (spots, numeraires, strikes, is_prod, coeffs),
         )
-        return cfs
+        exposures = None
+        if ctx is not None and len(ctx.exposure_timeline):
+            # per-product gather of its exposure rows -> [T_exp, P, N]
+            exposures = exposures_all[exp_row_idx, np.arange(P)[None, :], :]
+        return cfs, exposures
+
+    def cashflows(self, tables: ObservableTables):
+        return self.evaluate(tables, None)[0]
 
 
 BATCH_CLASSES = [

@@ -158,8 +158,11 @@ class SimulationController:
         # per-product executors.
         self._batches = []
         self._batched_ids = set()
-        if batch_products and not self.risk_metrics.requires_exposure_profiles():
-            from montecarlo_risk_engine_tpu.api.batching import plan_batches
+        if batch_products:
+            from montecarlo_risk_engine_tpu.api.batching import (
+                EuropeanEquityBatch,
+                plan_batches,
+            )
 
             time_to_index = {t: i for i, t in enumerate(self.simulation_timeline)}
             batchable = [
@@ -174,6 +177,11 @@ class SimulationController:
             self._batches, self._batched_ids = plan_batches(
                 products_f, ns_f, time_to_index, self.regression_function
             )
+            for batch in self._batches:
+                if isinstance(batch, EuropeanEquityBatch) and batch.products:
+                    if self._can_use_analytic_exposure_for_product(batch.products[0]):
+                        batch.use_analytic_exposure = True
+                        batch.analytic_model = self.model
 
         # Trace-local buffers (assigned inside the traced pipeline).
         self._exposure_reg_coeffs: Dict[int, object] = {}
@@ -662,21 +670,48 @@ class SimulationController:
         # Family-batched groups: one kernel per group, per-netting-set
         # aggregation via segment-sum.
         if self._batches and states is not None:
-            from montecarlo_risk_engine_tpu.api.batching import ObservableTables
+            from montecarlo_risk_engine_tpu.api.batching import (
+                ExerciseEquityBatch,
+                ObservableTables,
+            )
 
             tables = ObservableTables(self.model, params, states, self.num_paths_mainsim)
+            ctx = self._exposure_ctx()
+            need_cfs = self.risk_metrics.requires_discounted_cashflows()
+            need_exp = self.risk_metrics.requires_exposure_profiles()
+            n_ns = len(self.netting_sets)
             for batch in self._batches:
-                cfs_batch = batch.cashflows(tables)  # [P, N]
-                seg = jax.ops.segment_sum(
-                    cfs_batch, jnp.asarray(batch.ns_idx),
-                    num_segments=len(self.netting_sets),
-                )
+                ns_seg = jnp.asarray(batch.ns_idx)
+                cfs_batch = None
+                exp_ns = None
+                if isinstance(batch, ExerciseEquityBatch):
+                    cfs_batch, exp_pp = batch.evaluate(tables, ctx)
+                    if need_exp and exp_pp is not None:
+                        # [T_exp, P, N] -> per netting set [T_exp, n_ns, N]
+                        exp_ns = jax.vmap(
+                            lambda e: jax.ops.segment_sum(e, ns_seg, num_segments=n_ns)
+                        )(exp_pp)
+                else:
+                    if need_cfs:
+                        cfs_batch = batch.cashflows(tables)
+                    if need_exp:
+                        exp_ns = batch.exposure_contributions(tables, ctx)
+
                 for ns_idx in set(batch.ns_idx.tolist()):
                     has_pathwise[ns_idx] = True
-                    accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
-                        accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS]
-                        + seg[ns_idx]
-                    )
+                if cfs_batch is not None and need_cfs:
+                    seg = jax.ops.segment_sum(cfs_batch, ns_seg, num_segments=n_ns)
+                    for ns_idx in set(batch.ns_idx.tolist()):
+                        accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
+                            accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS]
+                            + seg[ns_idx]
+                        )
+                if exp_ns is not None and need_exp:
+                    for ns_idx in set(batch.ns_idx.tolist()):
+                        accumulators[ns_idx][PathwisePrimitive.EXPOSURE_PROFILES] = (
+                            accumulators[ns_idx][PathwisePrimitive.EXPOSURE_PROFILES]
+                            + exp_ns[:, ns_idx, :]
+                        )
 
         for prod_idx, product in enumerate(self.products):
             ns_idx = self.product_to_netting_set_idx[prod_idx]
@@ -716,6 +751,21 @@ class SimulationController:
             for i, ns in enumerate(self.netting_sets)
         ]
 
+    def _exposure_ctx(self):
+        """ExposureContext for the batched executors (None for PV-only books)."""
+        if not self.risk_metrics.requires_exposure_profiles():
+            return None
+        from montecarlo_risk_engine_tpu.api.batching import ExposureContext
+
+        return ExposureContext(
+            exposure_timeline=self.exposure_timeline,
+            time_to_index={t: i for i, t in enumerate(self.simulation_timeline)},
+            num_netting_sets=len(self.netting_sets),
+            spot_requests=self.spot_requests,
+            numeraire_requests=self.numeraire_requests,
+            regression_function=self.regression_function,
+        )
+
     # -- the traced pipeline -------------------------------------------------------------
 
     def _compute(self, params):
@@ -733,9 +783,12 @@ class SimulationController:
                 tables_pre = ObservableTables(
                     self.model, params, states_pre, self.num_paths_presim
                 )
+                ctx = self._exposure_ctx()
                 for batch in self._batches:
                     if hasattr(batch, "fit"):
-                        batch.fit(tables_pre)
+                        batch.fit(tables_pre, ctx)
+                    elif ctx is not None:
+                        batch.fit_exposure(tables_pre, ctx)
             for product in self.products:
                 if id(product) in self._batched_ids:
                     continue

@@ -59,10 +59,13 @@ def fit_least_squares(A, Y, ridge_rel: float = 1e-10):
     Y = jnp.asarray(Y)
     if Y.ndim == 1:
         Y = Y[:, None]
-    gram = A.T @ A
+    # Gram reductions must run at full f32/f64 precision: TPU matmuls default
+    # to bf16 inputs, which destroys the conditioning of the normal equations
+    # (basis columns span orders of magnitude).
+    gram = jnp.matmul(A.T, A, precision="highest")
     deg = A.shape[1]
     scale = jnp.trace(gram) / deg
     gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=A.dtype)
-    rhs = A.T @ Y
+    rhs = jnp.matmul(A.T, Y, precision="highest")
     coeffs = jnp.linalg.solve(gram, rhs)
     return coeffs.T

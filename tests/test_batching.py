@@ -107,3 +107,62 @@ def test_batched_matches_per_product():
     pv_a_plain, pv_b_plain, _ = _run(False)
     assert pv_a_batched == pytest.approx(pv_a_plain, rel=1e-10)
     assert pv_b_batched == pytest.approx(pv_b_plain, rel=1e-10)
+
+
+def _run_exposure(batch_products, metrics_fn):
+    from montecarlo_risk_engine_tpu import CEMetric, EPEMetric, PFEMetric
+
+    products = _mixed_book()
+    n = len(products)
+    ns1 = NettingSet(name="book_a", products=products[: n // 2])
+    ns2 = NettingSet(name="book_b", products=products[n // 2 :])
+    controller = SimulationController(
+        netting_sets=[ns1, ns2],
+        model=_model(),
+        risk_metrics=RiskMetrics(
+            metrics=metrics_fn(),
+            exposure_timeline=np.linspace(0.0, 2.0, 7),
+        ),
+        num_paths_mainsim=1024,
+        num_paths_presim=1024,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+        batch_products=batch_products,
+    )
+    results = controller.run_simulation()
+    return results, controller
+
+
+def test_batched_exposure_regression_matches_per_product():
+    from montecarlo_risk_engine_tpu import CEMetric, EPEMetric, PFEMetric
+
+    # CE in the metric set disables the analytic-exposure shortcut
+    # (controller.py:211-216), forcing the regression pipeline everywhere.
+    metrics = lambda: [EPEMetric(), PFEMetric(0.95), CEMetric()]
+    batched, controller = _run_exposure(True, metrics)
+    assert len(controller._batched_ids) == len(controller.products)
+    plain, _ = _run_exposure(False, metrics)
+    for metric in ("epe", "pfe[0.95]", "ce"):
+        for ns in ("book_a", "book_b"):
+            np.testing.assert_allclose(
+                batched.get_results(ns, metric),
+                plain.get_results(ns, metric),
+                rtol=1e-8, atol=1e-10,
+            )
+
+
+def test_batched_exposure_analytic_matches_per_product():
+    from montecarlo_risk_engine_tpu import EPEMetric, PFEMetric
+
+    # EPE/PFE only: Europeans take the batched *analytic* exposure path while
+    # the rest of the book regresses.
+    metrics = lambda: [EPEMetric(), PFEMetric(0.95)]
+    batched, controller = _run_exposure(True, metrics)
+    plain, _ = _run_exposure(False, metrics)
+    for metric in ("epe", "pfe[0.95]"):
+        for ns in ("book_a", "book_b"):
+            np.testing.assert_allclose(
+                batched.get_results(ns, metric),
+                plain.get_results(ns, metric),
+                rtol=1e-8, atol=1e-10,
+            )
