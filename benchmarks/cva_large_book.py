@@ -1,0 +1,102 @@
+"""CVA on a large mixed exposure book (the reference's CVA benchmark).
+
+Mirrors tests/exposure_tests/cva_perfprmance_large_netting_set.py: a
+5,000-product mixed book (same families as the PV benchmark at 1/10 scale) on
+a hybrid 4-asset BSMulti + CIR++ credit model, MPoR-collateralized netting
+set, 80 exposure dates, CVA metric, 1,000 main + 1,000 pre paths.
+
+Usage: python benchmarks/cva_large_book.py [scale] [--aad]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from benchmarks.pv_large_book import build_book
+from montecarlo_risk_engine_tpu import (
+    BlackScholesMulti,
+    CIRPPModel,
+    CVAMetric,
+    ModelConfig,
+    NettingSet,
+    RiskMetrics,
+    SimulationController,
+    SimulationScheme,
+)
+
+CP = "counterparty"
+HAZARDS = {1.0: 0.02, 2.0: 0.022, 3.0: 0.025, 5.0: 0.028, 10.0: 0.02}
+
+
+def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
+    full = {"european": 3940, "binary": 100, "basket": 100, "asian": 200,
+            "barrier": 400, "american": 180, "flexicall": 70, "storage": 10}
+    counts = {k: max(1, int(v * scale)) for k, v in full.items()}
+
+    asset_ids = [f"asset_{i}" for i in range(4)]
+    corr = np.full((4, 4), 0.35)
+    np.fill_diagonal(corr, 1.0)
+    market = BlackScholesMulti(
+        0.0, rate=0.03, asset_ids=asset_ids,
+        spots=[95.0 + 7.5 * i for i in range(4)],
+        volatilities=[0.18 + 0.03 * i for i in range(4)],
+        correlation_matrix=corr,
+    )
+    credit = CIRPPModel(0.0, asset_id=CP, hazard_rates=HAZARDS, kappa=0.10,
+                        theta=0.01, volatility=0.02, y0=0.0001)
+    model = ModelConfig(
+        [market, credit],
+        inter_asset_correlation_matrix=[np.zeros((4, 1))],
+    )
+
+    products = build_book(asset_ids, counts)
+    horizon = max(p.modeling_timeline[-1] for p in products)
+    netting_set = NettingSet(
+        name="cva_book", products=products, counterparty_id=CP,
+        margin_period_of_risk=10 / 252,
+    )
+    controller = SimulationController(
+        netting_sets=[netting_set],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=[CVAMetric(counterparty_id=CP, recovery_rate=0.4)],
+            exposure_timeline=np.linspace(0.0, horizon, 80),
+        ),
+        num_paths_mainsim=num_paths,
+        num_paths_presim=num_paths,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.EULER,
+        differentiate=aad,
+    )
+
+    t0 = time.perf_counter()
+    results = controller.run_simulation()
+    cold = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    controller.run_simulation()
+    warm = time.perf_counter() - t1
+
+    cva = float(results.get_results("cva_book", f"cva[{CP}]", evaluation_idx=0))
+    out = {
+        "metric": "cva_large_book_products_per_second",
+        "value": len(products) / warm,
+        "unit": "products/sec (warm)",
+        "num_products": len(products),
+        "total_seconds_cold": cold,
+        "total_seconds_warm": warm,
+        "aad": aad,
+        "cva": cva,
+    }
+    if aad:
+        d = results.get_derivatives("cva_book", f"cva[{CP}]", evaluation_idx=0)
+        out["dcva_dspot0"] = float(d["asset_0.spot[asset_0]"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 1.0
+    main(scale, aad="--aad" in sys.argv)
