@@ -43,7 +43,6 @@ CP = "counterparty"
 
 
 def build(num_products: int, num_paths: int, differentiate: bool):
-    rates = VasicekModel = None  # noqa: F841 (clarity below)
     from montecarlo_risk_engine_tpu import VasicekModel
 
     rates = VasicekModel(0.0, rate=0.03, mean=0.04, mean_reversion_speed=0.3,
