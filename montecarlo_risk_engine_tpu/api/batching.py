@@ -115,11 +115,24 @@ class TerminalBatch:
         single-factor regression, controller.py:361,366)."""
         return [p.asset_ids[0] for p in self.products]
 
+    def _exposure_grid_obs(self, tables: ObservableTables, ctx: ExposureContext, asset):
+        """(basis [T_exp, N, deg], numeraire [T_exp, N]) on the exposure grid."""
+        t_grid = np.array(ctx.exposure_timeline)
+        tidx = np.array([self.time_to_index[t] for t in t_grid])
+        expl = tables.rows(AtomicRequestType.SPOT, asset, tidx, t_grid)     # [T, N]
+        numeraire = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", tidx, t_grid)
+        degree = ctx.regression_function.degree
+        basis = jnp.stack([expl**k for k in range(degree + 1)], axis=-1)     # [T, N, deg]
+        return basis, numeraire
+
     def fit_exposure(self, tables: ObservableTables, ctx: ExposureContext) -> None:
         """Regress masked terminal cashflows on the explanatory spot.
 
-        One shared Gram per (asset, date); multi-RHS solve over all products
-        on that asset (distributed-LSM normal equations, SURVEY.md §5.8).
+        Exploits two structures so no per-date Python loop is needed:
+        the Gram matrix is shared by every product on an asset (one batched
+        solve per asset over the whole exposure grid), and the RHS is a single
+        einsum of the un-discounted basis against the terminal cashflows
+        (distributed-LSM normal equations, SURVEY.md §5.8).
         """
         regfn = ctx.regression_function
         deg = regfn.get_degree()
@@ -127,62 +140,62 @@ class TerminalBatch:
         maturities = self.maturities()
         assets = self.explanatory_assets()
         P = len(self.products)
-        num_paths = tables.num_paths
+        t_grid = np.array(ctx.exposure_timeline)
 
         by_asset = defaultdict(list)
         for p_idx, a in enumerate(assets):
             by_asset[a].append(p_idx)
 
-        coeffs_rows = []
-        for t in ctx.exposure_timeline:
-            tidx = np.array([self.time_to_index[t]])
-            times = np.array([t])
-            numeraire = self._numeraires(tables, tidx, times)[0]
-            coeffs_t = jnp.zeros((P, deg), dtype=real_dtype())
-            for a, p_rows in by_asset.items():
-                p_rows = np.array(p_rows)
-                expl = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0]
-                basis = regfn.get_regression_matrix(expl)       # [N, deg]
-                gram = jnp.matmul(basis.T, basis, precision="highest")
-                scale = jnp.trace(gram) / deg
-                gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-                mask = asarray(maturities[p_rows] > t)          # strictly-future cfs
-                targets = (cf_norm[p_rows] * numeraire[None, :] * mask[:, None]).T  # [N, Pa]
-                sol = jnp.linalg.solve(
-                    gram, jnp.matmul(basis.T, targets, precision="highest")
-                )  # [deg, Pa]
-                coeffs_t = coeffs_t.at[p_rows].set(sol.T)
-            coeffs_rows.append(coeffs_t)
-        self._exp_coeffs = jnp.stack(coeffs_rows)  # [T_exp, P, deg]
+        coeffs_all = jnp.zeros((len(t_grid), P, deg), dtype=real_dtype())
+        for a, p_rows in by_asset.items():
+            p_rows = np.array(p_rows)
+            basis, numeraire = self._exposure_grid_obs(tables, ctx, a)
+            gram = jnp.einsum("tnd,tne->tde", basis, basis, precision="highest")
+            scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
+            gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+            # rhs[t,d,p] = sum_n basis[t,n,d] num[t,n] cf[p,n], masked to
+            # strictly-future cashflows (maturity > t)
+            rhs = jnp.einsum(
+                "tnd,pn->tdp", basis * numeraire[:, :, None], cf_norm[p_rows],
+                precision="highest",
+            )
+            mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
+            rhs = rhs * mask[:, None, :]
+            sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
+            coeffs_all = coeffs_all.at[:, p_rows, :].set(jnp.swapaxes(sol, 1, 2))
+        self._exp_coeffs = coeffs_all  # [T_exp, P, deg]
 
     def exposure_contributions(self, tables: ObservableTables, ctx: ExposureContext):
-        """Per-netting-set exposure profiles [T_exp, n_ns, N]."""
-        regfn = ctx.regression_function
+        """Per-netting-set exposure profiles [T_exp, n_ns, N].
+
+        Exposure is linear in the coefficients, so products collapse to their
+        netting set BEFORE the basis product: segment-sum coeffs [T, n_ns, deg]
+        then one einsum — nothing of shape [T, P, N] is ever materialised.
+        """
         assets = self.explanatory_assets()
         by_asset = defaultdict(list)
         for p_idx, a in enumerate(assets):
             by_asset[a].append(p_idx)
 
-        rows = []
         ns_seg = jnp.asarray(self.ns_idx)
-        for t_pos, t in enumerate(ctx.exposure_timeline):
-            tidx = np.array([self.time_to_index[t]])
-            times = np.array([t])
-            numeraire = self._numeraires(tables, tidx, times)[0]
-            acc = jnp.zeros((ctx.num_netting_sets, tables.num_paths), dtype=real_dtype())
-            for a, p_rows in by_asset.items():
-                p_rows = np.array(p_rows)
-                expl = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0]
-                basis = regfn.get_regression_matrix(expl)              # [N, deg]
-                coeffs = self._exp_coeffs[t_pos, p_rows]               # [Pa, deg]
-                exposure = jnp.matmul(
-                    basis, coeffs.T, precision="highest"
-                ).T / numeraire[None, :]                               # [Pa, N]
-                acc = acc + jax.ops.segment_sum(
-                    exposure, ns_seg[p_rows], num_segments=ctx.num_netting_sets
+        total = jnp.zeros(
+            (len(ctx.exposure_timeline), ctx.num_netting_sets, tables.num_paths),
+            dtype=real_dtype(),
+        )
+        for a, p_rows in by_asset.items():
+            p_rows = np.array(p_rows)
+            basis, numeraire = self._exposure_grid_obs(tables, ctx, a)
+            coeffs = self._exp_coeffs[:, p_rows, :]            # [T, Pa, deg]
+            coeffs_ns = jax.vmap(
+                lambda c: jax.ops.segment_sum(
+                    c, ns_seg[p_rows], num_segments=ctx.num_netting_sets
                 )
-            rows.append(acc)
-        return jnp.stack(rows)  # [T_exp, n_ns, N]
+            )(coeffs)                                          # [T, n_ns, deg]
+            exposure = jnp.einsum(
+                "tnd,tsd->tsn", basis, coeffs_ns, precision="highest"
+            ) / numeraire[:, None, :]
+            total = total + exposure
+        return total
 
     def _spot_matrix(self, tables: ObservableTables, asset_ids, tidx_mat, times_mat):
         """Gather spots: per-product per-observation rows -> [P, O, N].
@@ -275,33 +288,40 @@ class EuropeanEquityBatch(TerminalBatch):
             vol_of = {a: params[1] for a in set(assets)}
 
         ns_seg = jnp.asarray(self.ns_idx)
-        rows = []
-        for t in ctx.exposure_timeline:
-            tidx = np.array([self.time_to_index[t]])
-            times = np.array([t])
-            numeraire = self._numeraires(tables, tidx, times)[0]
-            acc = jnp.zeros((ctx.num_netting_sets, tables.num_paths), dtype=real_dtype())
-            for a, p_rows in by_asset.items():
-                p_rows = np.array(p_rows)
-                taus = maturities[p_rows] - t
-                alive = taus > 0.0
-                tau = asarray(np.where(alive, taus, 1.0))[:, None]
-                spot = tables.rows(AtomicRequestType.SPOT, a, tidx, times)[0][None, :]
-                sigma = vol_of[a]
-                k = strikes[p_rows][:, None]
+        t_grid = np.array(ctx.exposure_timeline)
+        tidx = np.array([self.time_to_index[t] for t in t_grid])
+        n_ns = ctx.num_netting_sets
+        total = jnp.zeros((len(t_grid), n_ns, tables.num_paths), dtype=real_dtype())
+
+        for a, p_rows in by_asset.items():
+            p_rows = np.array(p_rows)
+            spot_rows = tables.rows(AtomicRequestType.SPOT, a, tidx, t_grid)      # [T, N]
+            num_rows = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", tidx, t_grid)
+            sigma = vol_of[a]
+            k = strikes[p_rows][:, None]
+            call_mask = asarray(is_call[p_rows])[:, None]
+            seg = ns_seg[p_rows]
+            taus_mat = maturities[p_rows][None, :] - t_grid[:, None]              # [T, Pa]
+            alive_mat = asarray(taus_mat > 0.0)
+            tau_mat = asarray(np.where(taus_mat > 0.0, taus_mat, 1.0))
+
+            def body(carry, xs):
+                spot_t, num_t, tau_t, alive_t = xs
+                spot = spot_t[None, :]
+                tau = tau_t[:, None]
                 sqrt_tau = jnp.sqrt(tau)
                 d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
                 d2 = d1 - sigma * sqrt_tau
                 disc_k = k * jnp.exp(-rate * tau)
                 call = spot * ndtr(d1) - disc_k * ndtr(d2)
                 put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
-                price = jnp.where(asarray(is_call[p_rows])[:, None], call, put)
-                price = price * asarray(alive)[:, None] / numeraire[None, :]
-                acc = acc + jax.ops.segment_sum(
-                    price, ns_seg[p_rows], num_segments=ctx.num_netting_sets
-                )
-            rows.append(acc)
-        return jnp.stack(rows)
+                price = jnp.where(call_mask, call, put)
+                price = price * alive_t[:, None] / num_t[None, :]
+                return carry, jax.ops.segment_sum(price, seg, num_segments=n_ns)
+
+            _, rows = jax.lax.scan(body, 0.0, (spot_rows, num_rows, tau_mat, alive_mat))
+            total = total + rows
+        return total
 
 
 class BinaryBatch(TerminalBatch):
