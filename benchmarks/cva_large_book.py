@@ -93,7 +93,8 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
     }
     if aad:
         d = results.get_derivatives("cva_book", f"cva[{CP}]", evaluation_idx=0)
-        out["dcva_dspot0"] = float(d["asset_0.spot[asset_0]"])
+        spot_name = next(n for n in results.get_model_param_names() if "spot" in n)
+        out["dcva_dspot0"] = float(d[spot_name])
     print(json.dumps(out))
 
 

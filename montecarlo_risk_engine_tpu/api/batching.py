@@ -557,13 +557,14 @@ class ExerciseEquityBatch(TerminalBatch):
         degree = self.regression_function.degree
         return jnp.stack([x**k for k in range(degree + 1)], axis=-1)
 
-    def _fit(self, basis, targets):
+    def _fit(self, basis, targets, weights=None):
         # basis [P, N, deg], targets [P, N, S] -> coeffs [P, S, deg]
-        gram = jnp.einsum("pnd,pne->pde", basis, basis, precision="highest")
+        basis_w = basis if weights is None else basis * weights[:, :, None]
+        gram = jnp.einsum("pnd,pne->pde", basis_w, basis, precision="highest")
         deg = basis.shape[-1]
         scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
         gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-        rhs = jnp.einsum("pnd,pns->pds", basis, targets, precision="highest")
+        rhs = jnp.einsum("pnd,pns->pds", basis_w, targets, precision="highest")
         return jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
 
     @staticmethod
@@ -593,11 +594,23 @@ class ExerciseEquityBatch(TerminalBatch):
         num_paths = tables.num_paths
         P = len(self.products)
         S = self.num_states
+        itm_flags = np.array([
+            getattr(p, "itm_only_regression", False) for p in self.products
+        ])
+        use_itm = bool(itm_flags.any())
+        itm_col = asarray(itm_flags)[:, None]
 
         def body(carry, xs):
             spots_e, num_e, strike_e, is_prod_e = xs
             basis = self._basis(spots_e)
-            coeffs = self._fit(basis, num_e[:, :, None] * carry)
+            weights = None
+            if use_itm:
+                itm = (signs[:, None] * (spots_e - strike_e[:, None]) > 0.0).astype(
+                    real_dtype()
+                )
+                active = itm_col * is_prod_e[:, None]
+                weights = jnp.where(active > 0, itm, 1.0)
+            coeffs = self._fit(basis, num_e[:, :, None] * carry, weights=weights)
             stepped = self._hypothetical_step(carry, spots_e, num_e, strike_e, signs, coeffs)
             carry = jnp.where(is_prod_e[:, None, None], stepped, carry)
             return carry, coeffs

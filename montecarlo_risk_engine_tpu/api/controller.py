@@ -433,7 +433,12 @@ class SimulationController:
         def body(carry, event):
             (expl, num, und, strike, is_prod), extras_e = event
             basis = regfn.get_regression_matrix(expl)
-            coeffs = fit_least_squares(basis, num[:, None] * carry)
+            weights = product.scan_regression_weights(und, strike)
+            if weights is not None:
+                # exposure-only rows carry dummy underlying values: keep the
+                # all-path fit there (weights only shape exercise decisions)
+                weights = jnp.where(is_prod, weights, 1.0)
+            coeffs = fit_least_squares(basis, num[:, None] * carry, weights=weights)
             if extras_e is None:
                 next_state, cfs = product.scan_exercise_step(
                     regfn, state0, und, expl, num, strike, coeffs

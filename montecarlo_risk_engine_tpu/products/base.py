@@ -201,6 +201,11 @@ class Product:
         for volume windows / ramp curves / costs).  None when unused."""
         return None
 
+    def scan_regression_weights(self, underlying_value, strike):
+        """Optional per-path LSM fit weights (e.g. in-the-money masks).
+        None = unweighted all-path fit (the reference's convention)."""
+        return None
+
     # -- analytic hooks (product.py:200-217) --------------------------------------
 
     def compute_pv_analytically(self, model, params):

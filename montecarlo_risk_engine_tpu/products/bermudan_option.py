@@ -35,6 +35,7 @@ class BermudanOption(Product):
         strike: float,
         option_type: OptionType,
         asset_id: str | None = None,
+        itm_only_regression: bool = False,
     ):
         super().__init__(
             asset_ids=[asset_id],
@@ -43,6 +44,11 @@ class BermudanOption(Product):
         self.strike = float(strike)
         self.option_type = option_type
         self.num_exercise_rights = 1
+        # Beyond-parity option: weight the LSM fit by the in-the-money mask
+        # (standard Longstaff–Schwartz).  The reference regresses on ALL paths
+        # (controller.py:316-383), which noticeably underprices early-exercise
+        # products; default False reproduces reference behaviour.
+        self.itm_only_regression = bool(itm_only_regression)
         self.product_timeline = tuple(float(t) for t in exercise_dates)
         self.modeling_timeline = self.product_timeline
         self.regression_timeline = self.product_timeline
@@ -109,6 +115,13 @@ class BermudanOption(Product):
     def scan_event_strikes(self):
         """Per-product-date scalar fed to scan_exercise_step (constant here)."""
         return [self.strike] * len(self.product_timeline)
+
+    def scan_regression_weights(self, underlying_value, strike):
+        """Per-path LSM fit weights, or None for the reference's all-path fit."""
+        if not self.itm_only_regression:
+            return None
+        sign = 1.0 if self.option_type == OptionType.CALL else -1.0
+        return (sign * (underlying_value - strike) > 0.0).astype(real_dtype())
 
     def scan_exercise_step(
         self, regression_function, state_matrix, underlying_value,

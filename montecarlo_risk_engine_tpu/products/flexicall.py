@@ -25,6 +25,7 @@ class FlexiCall(Product):
         underlyings: List[EuropeanOption],
         num_exercise_rights: int,
         asset_id: str | None = None,
+        itm_only_regression: bool = False,
     ):
         super().__init__(
             asset_ids=[asset_id],
@@ -44,6 +45,7 @@ class FlexiCall(Product):
         ), "Exercise dates must be distinct"
 
         self.num_exercise_rights = int(num_exercise_rights)
+        self.itm_only_regression = bool(itm_only_regression)
         self.product_timeline = tuple(opt.exercise_date for opt in self.underlyings)
         self.modeling_timeline = self.product_timeline
         self.regression_timeline = self.product_timeline
@@ -116,6 +118,12 @@ class FlexiCall(Product):
 
     def scan_event_strikes(self):
         return [opt.strike for opt in self.underlyings]
+
+    def scan_regression_weights(self, underlying_value, strike):
+        if not self.itm_only_regression:
+            return None
+        sign = 1.0 if self.underlyings[0].option_type == OptionType.CALL else -1.0
+        return (sign * (underlying_value - strike) > 0.0).astype(real_dtype())
 
     def scan_exercise_step(
         self, regression_function, state_matrix, underlying_value,

@@ -41,7 +41,7 @@ class PolynomialRegression(RegressionFunction):
 PolyomialRegression = PolynomialRegression
 
 
-def fit_least_squares(A, Y, ridge_rel: float = 1e-10):
+def fit_least_squares(A, Y, ridge_rel: float = 1e-10, weights=None):
     """Solve ``argmin ||A c - Y||²`` via normal equations.
 
     A: [N, deg] basis matrix; Y: [N, S] targets (one column per hypothetical
@@ -59,13 +59,16 @@ def fit_least_squares(A, Y, ridge_rel: float = 1e-10):
     Y = jnp.asarray(Y)
     if Y.ndim == 1:
         Y = Y[:, None]
+    # Optional per-path weights (e.g. in-the-money masks for exercise-quality
+    # LSM): weighted normal equations (A'WA) c = A'WY.
+    A_w = A if weights is None else A * weights[:, None]
     # Gram reductions must run at full f32/f64 precision: TPU matmuls default
     # to bf16 inputs, which destroys the conditioning of the normal equations
     # (basis columns span orders of magnitude).
-    gram = jnp.matmul(A.T, A, precision="highest")
+    gram = jnp.matmul(A_w.T, A, precision="highest")
     deg = A.shape[1]
     scale = jnp.trace(gram) / deg
     gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=A.dtype)
-    rhs = jnp.matmul(A.T, Y, precision="highest")
+    rhs = jnp.matmul(A_w.T, Y, precision="highest")
     coeffs = jnp.linalg.solve(gram, rhs)
     return coeffs.T
