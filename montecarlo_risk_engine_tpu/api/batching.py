@@ -150,18 +150,22 @@ class TerminalBatch:
         for a, p_rows in by_asset.items():
             p_rows = np.array(p_rows)
             basis, numeraire = self._exposure_grid_obs(tables, ctx, a)
-            gram = jnp.einsum("tnd,tne->tde", basis, basis, precision="highest")
+            # column equilibration per date (see utils/regression)
+            col_scale = jnp.maximum(jnp.sqrt(jnp.mean(basis * basis, axis=1)), 1e-30)
+            basis_s = basis / col_scale[:, None, :]
+            gram = jnp.einsum("tnd,tne->tde", basis_s, basis_s, precision="highest")
             scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
             gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
             # rhs[t,d,p] = sum_n basis[t,n,d] num[t,n] cf[p,n], masked to
             # strictly-future cashflows (maturity > t)
             rhs = jnp.einsum(
-                "tnd,pn->tdp", basis * numeraire[:, :, None], cf_norm[p_rows],
+                "tnd,pn->tdp", basis_s * numeraire[:, :, None], cf_norm[p_rows],
                 precision="highest",
             )
             mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
             rhs = rhs * mask[:, None, :]
             sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
+            sol = sol / col_scale[:, :, None]
             coeffs_all = coeffs_all.at[:, p_rows, :].set(jnp.swapaxes(sol, 1, 2))
         self._exp_coeffs = coeffs_all  # [T_exp, P, deg]
 
@@ -559,18 +563,29 @@ class ExerciseEquityBatch(TerminalBatch):
 
     def _fit(self, basis, targets, weights=None):
         # basis [P, N, deg], targets [P, N, S] -> coeffs [P, S, deg]
-        basis_w = basis if weights is None else basis * weights[:, :, None]
-        gram = jnp.einsum("pnd,pne->pde", basis_w, basis, precision="highest")
+        # Column equilibration (see utils/regression.fit_least_squares).
+        col_scale = jnp.maximum(jnp.sqrt(jnp.mean(basis * basis, axis=1)), 1e-30)
+        basis_s = basis / col_scale[:, None, :]
+        basis_w = basis_s if weights is None else basis_s * weights[:, :, None]
+        gram = jnp.einsum("pnd,pne->pde", basis_w, basis_s, precision="highest")
         deg = basis.shape[-1]
         scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
         gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
         rhs = jnp.einsum("pnd,pns->pds", basis_w, targets, precision="highest")
-        return jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
+        coeffs = jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
+        return coeffs / col_scale[:, None, :]
 
     @staticmethod
     def _shift_down(values):
         """values[..., s] -> values[..., max(s-1, 0)] along the state axis."""
         return jnp.concatenate([values[..., :1], values[..., :-1]], axis=-1)
+
+    def _itm_gate_col(self):
+        """[P, 1, 1] float mask: 1 where the product uses ITM-gated exercise."""
+        flags = np.array([
+            getattr(p, "itm_only_regression", False) for p in self.products
+        ])
+        return asarray(flags)[:, None, None]
 
     def _hypothetical_step(self, carry, spots_e, num_e, strike_e, signs, coeffs):
         """One backward event on the all-states carry C [P, N, S]."""
@@ -585,6 +600,8 @@ class ExerciseEquityBatch(TerminalBatch):
             exercised = (immediate + cont_ex > grid) & s_positive
         else:
             exercised = (immediate > grid) & s_positive
+        # ITM-gated products never exercise out of the money (standard LSM)
+        exercised = exercised & ((self._itm_gate_col() == 0) | (immediate > 0.0))
         cfs = immediate * exercised.astype(real_dtype()) / num_e[:, :, None]
         tail = jnp.where(exercised, self._shift_down(carry), carry)
         return cfs + tail
@@ -650,6 +667,9 @@ class ExerciseEquityBatch(TerminalBatch):
             else:
                 exercised = (immediate > cont_hold) & (state > 0)
             exercised = exercised & is_prod_e[:, None]
+            exercised = exercised & (
+                (self._itm_gate_col()[:, :, 0] == 0) | (immediate > 0.0)
+            )
             cfs = cfs + immediate * exercised.astype(real_dtype()) / num_e
             state = state - exercised.astype(int)
             # realized-state continuation for exposure rows (re-read after the

@@ -104,6 +104,11 @@ class BermudanOption(Product):
             )
 
         should_exercise = (immediate > continuation) & (state_matrix > 0)
+        if self.itm_only_regression:
+            # standard LSM: exercise is only considered in the money — without
+            # this gate, negative extrapolated continuations on OTM paths burn
+            # the right for a zero payoff
+            should_exercise = should_exercise & (immediate > 0.0)
         state_after = jnp.where(state_matrix > 0, state_matrix - 1, state_matrix)
         numeraire_col = numeraire[:, None] if jnp.ndim(numeraire) == 1 else numeraire
         cashflows = immediate * should_exercise.astype(real_dtype()) / numeraire_col
@@ -144,6 +149,8 @@ class BermudanOption(Product):
             coeffs_all_states=coeffs,
         )
         should_exercise = (immediate > continuation) & (state_matrix > 0)
+        if self.itm_only_regression:
+            should_exercise = should_exercise & (immediate > 0.0)
         state_after = jnp.where(state_matrix > 0, state_matrix - 1, state_matrix)
         cashflows = immediate * should_exercise.astype(real_dtype()) / numeraire[:, None]
         next_state = jnp.where(should_exercise, state_after, state_matrix)

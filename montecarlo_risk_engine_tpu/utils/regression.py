@@ -59,16 +59,22 @@ def fit_least_squares(A, Y, ridge_rel: float = 1e-10, weights=None):
     Y = jnp.asarray(Y)
     if Y.ndim == 1:
         Y = Y[:, None]
+    # Column equilibration: monomial bases span many orders of magnitude
+    # (1, S, S^2 with S ~ 100), so the raw Gram matrix is ill-conditioned and
+    # any uniform ridge acts as a huge perturbation on the small-scale
+    # columns.  Scale columns to unit RMS, solve, then unscale.
+    col_scale = jnp.sqrt(jnp.mean(A * A, axis=0))
+    col_scale = jnp.maximum(col_scale, 1e-30)
+    A_s = A / col_scale[None, :]
     # Optional per-path weights (e.g. in-the-money masks for exercise-quality
     # LSM): weighted normal equations (A'WA) c = A'WY.
-    A_w = A if weights is None else A * weights[:, None]
+    A_w = A_s if weights is None else A_s * weights[:, None]
     # Gram reductions must run at full f32/f64 precision: TPU matmuls default
-    # to bf16 inputs, which destroys the conditioning of the normal equations
-    # (basis columns span orders of magnitude).
-    gram = jnp.matmul(A_w.T, A, precision="highest")
+    # to bf16 inputs, which destroys the conditioning of the normal equations.
+    gram = jnp.matmul(A_w.T, A_s, precision="highest")
     deg = A.shape[1]
     scale = jnp.trace(gram) / deg
     gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=A.dtype)
     rhs = jnp.matmul(A_w.T, Y, precision="highest")
     coeffs = jnp.linalg.solve(gram, rhs)
-    return coeffs.T
+    return (coeffs / col_scale[:, None]).T

@@ -69,13 +69,33 @@ def test_american_put_brackets_binomial_value():
     european = 100.0 * np.exp(-0.05) * norm.cdf(-d2) - 100.0 * norm.cdf(-d1)
 
     pv, se = _lsm_american_put()
-    # The reference's LSM regresses on ALL paths with a quadratic basis (no
-    # in-the-money filtering, controller.py:316-383), so its exercise policy
-    # is noticeably suboptimal: values sit BELOW the European price (the
-    # reference's own golden shows the same bias — American call 34.32 vs
-    # its European value 38.57).  We reproduce that algorithm faithfully, so
-    # assert the suboptimal-policy lower-bound band instead.
+    # The reference's LSM regresses on ALL paths (no in-the-money filtering,
+    # controller.py:316-383), a suboptimal exercise policy that sits a few
+    # percent below the true American value (the reference's own golden shows
+    # the same bias).  Lower-bound band:
     assert pv < true_american + 4 * se, (pv, true_american)
-    assert pv > 0.8 * true_american, (pv, true_american)
+    assert pv > 0.9 * true_american, (pv, true_american)
     # sanity: the tree value itself dominates European
     assert true_american > european
+
+
+def test_american_put_itm_lsm_matches_binomial():
+    # Beyond-parity mode: ITM-weighted fit + ITM-gated exercise (standard
+    # Longstaff–Schwartz) prices the American put within ~1% of the tree.
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.05, sigma=0.3)
+    product = AmericanOption(Equity("eq"), 1.0, 50, 100.0, OptionType.PUT,
+                             asset_id="eq")
+    product.itm_only_regression = True
+    controller = SimulationController(
+        netting_sets=[NettingSet(name="am", products=[product])],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+        num_paths_mainsim=50_000,
+        num_paths_presim=50_000,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    results = controller.run_simulation()
+    pv = float(results.get_results("am", "pv", evaluation_idx=0))
+    true_american = crr_american_put(100.0, 100.0, 0.05, 0.3, 1.0)
+    assert abs(pv / true_american - 1.0) < 0.015, (pv, true_american)
