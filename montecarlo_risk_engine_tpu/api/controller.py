@@ -80,6 +80,7 @@ class SimulationController:
         root_seed: int = 0,
         path_sharding=None,
         batch_products: bool = True,
+        antithetic: bool = False,
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -136,6 +137,10 @@ class SimulationController:
         self.requires_higher_order_derivatives = False
         self.root_seed = int(root_seed)
         self.path_sharding = path_sharding
+        # Antithetic driver pairs (variance reduction; not in the reference).
+        # Note the reported MC standard errors keep the reference's iid-path
+        # convention, which is conservative for antithetic pairs.
+        self.antithetic = bool(antithetic)
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -780,6 +785,7 @@ class SimulationController:
                 self.model, params, self.simulation_scheme, self.simulation_timeline,
                 self.num_paths_presim, self.num_steps, rng.PHASE_PRESIM,
                 root_seed=self.root_seed, path_sharding=self.path_sharding,
+                antithetic=self.antithetic,
             )
             resolved_pre = plan.resolve_requests(params, states_pre)
             if self._batches:
@@ -807,6 +813,7 @@ class SimulationController:
             self.model, params, self.simulation_scheme, self.simulation_timeline,
             self.num_paths_mainsim, self.num_steps, rng.PHASE_MAINSIM,
             root_seed=self.root_seed, path_sharding=self.path_sharding,
+            antithetic=self.antithetic,
         )
         resolved = plan.resolve_requests(params, states)
         return self._evaluate_products(params, resolved, states)

@@ -60,12 +60,17 @@ def simulate_paths(
     phase: int,
     root_seed: int = 0,
     path_sharding=None,
+    antithetic: bool = False,
 ):
     """Simulate states at each timeline point.
 
     phase: rng.PHASE_PRESIM or rng.PHASE_MAINSIM (reference engine.py:25).
+    antithetic: pair each driver draw with its negation (uniforms with 1-u) —
+    a variance-reduction feature the reference lacks; num_paths must be even.
     Returns [T, num_paths, state_dim].
     """
+    if antithetic and num_paths % 2:
+        raise ValueError("antithetic sampling requires an even num_paths")
     dtype = real_dtype()
     num_points = len(timeline)
     if num_points == 0:
@@ -93,7 +98,17 @@ def simulate_paths(
         t1 = t_prev + k * dt_safe
 
         counter = point_idx * num_steps + k
-        z = rng.normals(rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL), (num_paths, sim_dim), dtype)
+        if antithetic:
+            half = rng.normals(
+                rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL),
+                (num_paths // 2, sim_dim), dtype,
+            )
+            z = jnp.concatenate([half, -half], axis=0)
+        else:
+            z = rng.normals(
+                rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL),
+                (num_paths, sim_dim), dtype,
+            )
         if path_sharding is not None:
             z = jax.lax.with_sharding_constraint(z, path_sharding)
         if scheme == SimulationScheme.ANALYTICAL:
@@ -106,9 +121,17 @@ def simulate_paths(
 
         uniform = None
         if needs_uniform:
-            uniform = rng.uniforms(
-                rng.step_key(phase_k, counter, rng.PURPOSE_UNIFORM), (num_paths,), dtype
-            )
+            if antithetic:
+                half_u = rng.uniforms(
+                    rng.step_key(phase_k, counter, rng.PURPOSE_UNIFORM),
+                    (num_paths // 2,), dtype,
+                )
+                uniform = jnp.concatenate([half_u, 1.0 - half_u], axis=0)
+            else:
+                uniform = rng.uniforms(
+                    rng.step_key(phase_k, counter, rng.PURPOSE_UNIFORM),
+                    (num_paths,), dtype,
+                )
 
         new_state = model.step(params, scheme, t1, t1 + dt_safe, state, noise, uniform)
         return jnp.where(live, new_state, state)
