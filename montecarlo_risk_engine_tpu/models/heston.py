@@ -38,6 +38,7 @@ class HestonModel(Model):
         theta: float,
         v0: float,
         asset_id: str | None = None,
+        martingale_correction: bool = False,
     ):
         super().__init__(
             calibration_date=calibration_date,
@@ -47,6 +48,11 @@ class HestonModel(Model):
         )
         self._init = (float(spot), float(sigma), float(rate), float(rho),
                       float(kappa), float(theta), float(v0))
+        # Andersen's martingale correction (eq. 44): replaces K0 with the
+        # branch-dependent K0* so E[S_{t+dt}] = S_t e^{r dt} exactly at any
+        # step size.  Off by default — the reference uses plain K0
+        # (heston.py:145-159) whose drift bias is O(dt).
+        self.martingale_correction = bool(martingale_correction)
 
     def initial_params(self):
         return tuple(asarray(v) for v in self._init)
@@ -158,6 +164,18 @@ class HestonModel(Model):
         v_next = (1.0 - w) * v_quad + w * v_exp
 
         k0, k1, k2, k3, k4 = self._qe_k_coefficients(params, dt)
+        if self.martingale_correction:
+            # Andersen eq. 44 with gamma2 = 0 (K4 = 0): K0* = -ln M - (K1 +
+            # 0.5 K3) v where M = E[exp(K2 V+)|v] per branch.
+            a_coef = m / (1.0 + b2)
+            quad_arg = jnp.minimum(k2 * a_coef, 0.5 - 1e-6)
+            m_quad = jnp.exp(quad_arg * b2 / (1.0 - 2.0 * quad_arg)) / jnp.sqrt(
+                jnp.maximum(1.0 - 2.0 * quad_arg, _EPS)
+            )
+            beta_safe = jnp.maximum(beta, k2 + 1e-8)
+            m_exp = p + beta_safe * (1.0 - p) / (beta_safe - k2)
+            mart = jnp.where(psi > 1.5, m_exp, m_quad)
+            k0 = -jnp.log(jnp.maximum(mart, _EPS)) - (k1 + 0.5 * k3) * v
         var_int = jnp.maximum(k3 * v + k4 * v_next, 0.0)
         vol = jnp.sqrt(jnp.maximum(var_int, _EPS))
         log_s_next = log_s + rate * dt + k0 + k1 * v + k2 * v_next + vol * z_s

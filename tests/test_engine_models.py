@@ -128,3 +128,17 @@ def test_gradient_flows_through_engine():
     grads = jax.grad(mean_terminal)(model.initial_params())
     # dE[S_T]/dS0 = e^{rT}
     assert abs(float(grads[0]) - np.exp(0.1)) < 2e-2
+
+
+def test_heston_qe_martingale_correction():
+    # Andersen eq.44 correction: spot is a martingale at ANY step size
+    # (the plain reference K0 has an O(dt) drift bias — see the 96-step
+    # grid needed above).
+    model = HestonModel(0.0, spot=100.0, rate=0.0, sigma=0.3, rho=-0.7,
+                        kappa=2.0, theta=0.09, v0=0.04,
+                        martingale_correction=True)
+    params = model.initial_params()
+    states = simulate_paths(model, params, SimulationScheme.QE, [3.0], 100_000, 8,
+                            rng.PHASE_MAINSIM)
+    s_t = np.exp(np.asarray(states[0, :, 0]))
+    assert abs(s_t.mean() / 100.0 - 1.0) < 5e-3
