@@ -81,6 +81,7 @@ class SimulationController:
         path_sharding=None,
         batch_products: bool = True,
         antithetic: bool = False,
+        remat_paths: bool = False,
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -141,6 +142,9 @@ class SimulationController:
         # Note the reported MC standard errors keep the reference's iid-path
         # convention, which is conservative for antithetic pairs.
         self.antithetic = bool(antithetic)
+        # Rematerialize path steps in reverse-mode AD (memory/compute trade
+        # for very large differentiated runs; see engine.simulate_paths).
+        self.remat_paths = bool(remat_paths)
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -785,7 +789,7 @@ class SimulationController:
                 self.model, params, self.simulation_scheme, self.simulation_timeline,
                 self.num_paths_presim, self.num_steps, rng.PHASE_PRESIM,
                 root_seed=self.root_seed, path_sharding=self.path_sharding,
-                antithetic=self.antithetic,
+                antithetic=self.antithetic, remat=self.remat_paths,
             )
             resolved_pre = plan.resolve_requests(params, states_pre)
             if self._batches:
@@ -813,7 +817,7 @@ class SimulationController:
             self.model, params, self.simulation_scheme, self.simulation_timeline,
             self.num_paths_mainsim, self.num_steps, rng.PHASE_MAINSIM,
             root_seed=self.root_seed, path_sharding=self.path_sharding,
-            antithetic=self.antithetic,
+            antithetic=self.antithetic, remat=self.remat_paths,
         )
         resolved = plan.resolve_requests(params, states)
         return self._evaluate_products(params, resolved, states)

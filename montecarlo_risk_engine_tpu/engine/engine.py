@@ -61,12 +61,17 @@ def simulate_paths(
     root_seed: int = 0,
     path_sharding=None,
     antithetic: bool = False,
+    remat: bool = False,
 ):
     """Simulate states at each timeline point.
 
     phase: rng.PHASE_PRESIM or rng.PHASE_MAINSIM (reference engine.py:25).
     antithetic: pair each driver draw with its negation (uniforms with 1-u) —
     a variance-reduction feature the reference lacks; num_paths must be even.
+    remat: jax.checkpoint the per-point step so reverse-mode AD recomputes the
+    in-step intermediates (RNG bits, noise, branch terms) instead of storing
+    them — trades ~2x step FLOPs for O(state) instead of O(intermediates)
+    backward memory per step (SURVEY.md §5.7, 16M-path AAD runs).
     Returns [T, num_paths, state_dim].
     """
     if antithetic and num_paths % 2:
@@ -136,8 +141,7 @@ def simulate_paths(
         new_state = model.step(params, scheme, t1, t1 + dt_safe, state, noise, uniform)
         return jnp.where(live, new_state, state)
 
-    def point_body(state, xs):
-        point_idx, t_prev, dt_interval = xs
+    def point_step(state, point_idx, t_prev, dt_interval):
         state = jax.lax.fori_loop(
             0,
             num_steps,
@@ -146,6 +150,13 @@ def simulate_paths(
         )
         if path_sharding is not None:
             state = jax.lax.with_sharding_constraint(state, path_sharding)
+        return state
+
+    if remat:
+        point_step = jax.checkpoint(point_step)
+
+    def point_body(state, xs):
+        state = point_step(state, *xs)
         return state, state
 
     xs = (jnp.arange(num_points), t_prev_arr, dt_arr)
