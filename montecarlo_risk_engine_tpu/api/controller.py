@@ -850,7 +850,20 @@ class SimulationController:
                 jax.jacfwd(jax.jacrev(lambda p: flat_fn(p)[0]))
             )
 
-    def run_simulation(self) -> SimulationResults:
+    def run_simulation(self, profile_dir: Optional[str] = None) -> SimulationResults:
+        """Run the pipeline; optionally capture a device profile.
+
+        profile_dir: when given, the whole run is wrapped in a
+        ``jax.profiler.trace`` whose artifacts land there (TensorBoard /
+        Perfetto) — the TPU-native upgrade of the reference's per-phase
+        perf_counter log lines (controller.py:663-707).
+        """
+        if profile_dir is not None:
+            with jax.profiler.trace(profile_dir):
+                return self._run_simulation_impl()
+        return self._run_simulation_impl()
+
+    def _run_simulation_impl(self) -> SimulationResults:
         t0 = time.perf_counter()
         if self._plan is None:
             self._plan = RequestPlan(self.model)
