@@ -154,8 +154,9 @@ class TerminalBatch:
             col_scale = jnp.maximum(jnp.sqrt(jnp.mean(basis * basis, axis=1)), 1e-30)
             basis_s = basis / col_scale[:, None, :]
             gram = jnp.einsum("tnd,tne->tde", basis_s, basis_s, precision="highest")
+            ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
             scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
-            gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+            gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
             # rhs[t,d,p] = sum_n basis[t,n,d] num[t,n] cf[p,n], masked to
             # strictly-future cashflows (maturity > t)
             rhs = jnp.einsum(
@@ -569,8 +570,9 @@ class ExerciseEquityBatch(TerminalBatch):
         basis_w = basis_s if weights is None else basis_s * weights[:, :, None]
         gram = jnp.einsum("pnd,pne->pde", basis_w, basis_s, precision="highest")
         deg = basis.shape[-1]
+        ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
         scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
-        gram = gram + (1e-10 * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+        gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
         rhs = jnp.einsum("pnd,pns->pds", basis_w, targets, precision="highest")
         coeffs = jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
         return coeffs / col_scale[:, None, :]

@@ -41,7 +41,7 @@ class PolynomialRegression(RegressionFunction):
 PolyomialRegression = PolynomialRegression
 
 
-def fit_least_squares(A, Y, ridge_rel: float = 1e-10, weights=None):
+def fit_least_squares(A, Y, ridge_rel=None, weights=None):
     """Solve ``argmin ||A c - Y||²`` via normal equations.
 
     A: [N, deg] basis matrix; Y: [N, S] targets (one column per hypothetical
@@ -73,6 +73,10 @@ def fit_least_squares(A, Y, ridge_rel: float = 1e-10, weights=None):
     # to bf16 inputs, which destroys the conditioning of the normal equations.
     gram = jnp.matmul(A_w.T, A_s, precision="highest")
     deg = A.shape[1]
+    if ridge_rel is None:
+        # must dominate the dtype's epsilon so rank-deficient bases (constant
+        # explanatory at t=0) stay solvable: ~1e3 x eps of the working dtype
+        ridge_rel = 1e-10 if jnp.finfo(A.dtype).bits >= 64 else 1e-4
     scale = jnp.trace(gram) / deg
     gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=A.dtype)
     rhs = jnp.matmul(A_w.T, Y, precision="highest")
