@@ -68,8 +68,10 @@ class ObservableTables:
         if key not in self._cache:
             t1 = asarray(times)
             t2 = jnp.zeros_like(t1)
+            from montecarlo_risk_engine_tpu.ops.gather import gather_rows
+
             out = self.model.resolve_request_rows(
-                self.params, kind, asset_id, t1, t2, self.states[tidx]
+                self.params, kind, asset_id, t1, t2, gather_rows(self.states, tidx)
             )
             if out.ndim == 1:
                 out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))

@@ -1,0 +1,45 @@
+"""Time-axis row gather with a TPU-safe reverse-mode rule.
+
+``states[tidx]`` (advanced indexing on the leading time axis) is the engine's
+observable-schedule primitive.  Its default VJP is a scatter-add, which the
+TPU backend can lower into a padded dense intermediate of shape
+[T, rows, N, D] — 73GB for the north-star config at 1M paths.  This custom
+rule keeps the forward a plain gather and expresses the backward as a one-hot
+matmul (flops ~ rows*T*N*D, all MXU-friendly; cotangent memory is exactly
+[T, N, D]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def take_time_rows(states, tidx: tuple, num_times: int):
+    """states [T, N, D] -> [len(tidx), N, D]; tidx is a static index tuple."""
+    return states[np.array(tidx)]
+
+
+def _fwd(states, tidx, num_times):
+    return states[np.array(tidx)], None
+
+
+def _bwd(tidx, num_times, _residual, ct):
+    onehot = jnp.asarray(
+        np.arange(num_times)[:, None] == np.array(tidx)[None, :], dtype=ct.dtype
+    )  # [T, rows] — static constant
+    grad_states = jnp.einsum("tr,r...->t...", onehot, ct, precision="highest")
+    return (grad_states,)
+
+
+take_time_rows.defvjp(_fwd, _bwd)
+
+
+def gather_rows(states, tidx) -> jnp.ndarray:
+    """Convenience wrapper accepting numpy index arrays."""
+    idx = tuple(int(i) for i in np.asarray(tidx).ravel())
+    return take_time_rows(states, idx, int(states.shape[0]))

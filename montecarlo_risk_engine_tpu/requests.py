@@ -202,7 +202,9 @@ class RequestPlan:
             tidx = np.array([r[0] for r in rows])
             t1s = jnp.asarray([0.0 if r[1].time1 is None else r[1].time1 for r in rows])
             t2s = jnp.asarray([0.0 if r[1].time2 is None else r[1].time2 for r in rows])
-            states_sel = states[tidx]
+            from montecarlo_risk_engine_tpu.ops.gather import gather_rows
+
+            states_sel = gather_rows(states, tidx)
             out = self.model.resolve_request_rows(params, kind, asset_id, t1s, t2s, states_sel)
             for i, (_, req) in enumerate(rows):
                 resolved[req.handle] = out[i]
