@@ -108,3 +108,41 @@ def test_cva_wwr_payer_swap_ordering():
     diff = cva_wwr - cva_uncorr
     se_diff = (se_wwr**2 + se_uncorr**2) ** 0.5
     assert diff > 3.0 * se_diff, (cva_wwr, cva_uncorr, se_diff)
+
+
+def test_cva_second_order_derivatives_finite():
+    """Full Hessian of CVA through the exposure pipeline (the reference's
+    compute_higher_derivatives path, controller.py:631-648)."""
+    rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                         volatility=0.012, asset_id="irs")
+    credit = CIRPPModel(0.0, asset_id=CP, hazard_rates=HAZARDS, kappa=0.1,
+                        theta=0.01, volatility=0.02, y0=0.0001)
+    model = ModelConfig([rates, credit],
+                        inter_asset_correlation_matrix=[np.array([[0.2]])])
+    swap = InterestRateSwap(0.0, 2.0, 1.0, 0.03, 0.5, 0.5, IRSType.PAYER,
+                            asset_id="irs")
+    cva_metric = CVAMetric(counterparty_id=CP, recovery_rate=0.4)
+    controller = SimulationController(
+        netting_sets=[NettingSet(name="b", products=[swap], counterparty_id=CP)],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[cva_metric],
+                                 exposure_timeline=np.linspace(0.0, 2.0, 9)),
+        num_paths_mainsim=2000,
+        num_paths_presim=2000,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.EULER,
+        differentiate=True,
+    )
+    controller.compute_higher_derivatives()
+    results = controller.run_simulation()
+    hess = results.get_second_derivatives("b", cva_metric.get_name(), evaluation_idx=0)
+    values = [v for row in hess.values() for v in row.values()]
+    assert all(np.isfinite(v) for v in values)
+    # symmetry of the Hessian
+    d_rs = results.get_second_derivatives("b", cva_metric.get_name(),
+                                          param1="irs.rate", param2="irs.volatility",
+                                          evaluation_idx=0)
+    d_sr = results.get_second_derivatives("b", cva_metric.get_name(),
+                                          param1="irs.volatility", param2="irs.rate",
+                                          evaluation_idx=0)
+    assert abs(d_rs - d_sr) < 1e-8 * max(1.0, abs(d_rs))
