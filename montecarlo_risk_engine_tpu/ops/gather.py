@@ -32,8 +32,13 @@ def _bwd(tidx, num_times, _residual, ct):
     onehot = jnp.asarray(
         np.arange(num_times)[:, None] == np.array(tidx)[None, :], dtype=ct.dtype
     )  # [T, rows] — static constant
-    grad_states = jnp.einsum("tr,r...->t...", onehot, ct, precision="highest")
-    return (grad_states,)
+    # Flatten to an explicit [T, rows] @ [rows, N*D] matmul: without this XLA
+    # can fuse the one-hot multiply elementwise and materialise a
+    # [T, rows, N, D] intermediate (tens of GB at 1M paths).
+    rows = ct.shape[0]
+    ct2 = ct.reshape(rows, -1)
+    grad_states = jnp.matmul(onehot, ct2, precision="highest")
+    return (grad_states.reshape((num_times,) + ct.shape[1:]),)
 
 
 take_time_rows.defvjp(_fwd, _bwd)
