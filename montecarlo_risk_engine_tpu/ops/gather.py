@@ -18,23 +18,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def take_time_rows(states, tidx: tuple, num_times: int):
-    """states [T, N, D] -> [len(tidx), N, D]; tidx is a static index tuple."""
+def _onehot(tidx, num_times, dtype, transpose=False):
+    grid = np.arange(num_times)[:, None] == np.array(tidx)[None, :]  # [T, rows]
+    return jnp.asarray(grid.T if transpose else grid, dtype=dtype)
+
+
+def _take_impl(states, tidx, num_times):
+    if jax.default_backend() == "tpu":
+        # The TPU backend lowers a leading-axis gather into a padded dense
+        # select of shape [rows, T, N, D] (OOM at 1M paths); an explicit
+        # [rows, T] @ [T, N*D] matmul lowers cleanly onto the MXU.
+        onehot_t = _onehot(tidx, num_times, states.dtype, transpose=True)
+        flat = states.reshape(states.shape[0], -1)
+        out = jnp.matmul(onehot_t, flat, precision="highest")
+        return out.reshape((len(tidx),) + states.shape[1:])
     return states[np.array(tidx)]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def take_time_rows(states, tidx: tuple, num_times: int):
+    """states [T, N, D] -> [len(tidx), N, D]; tidx is a static index tuple."""
+    return _take_impl(states, tidx, num_times)
+
+
 def _fwd(states, tidx, num_times):
-    return states[np.array(tidx)], None
+    return _take_impl(states, tidx, num_times), None
 
 
 def _bwd(tidx, num_times, _residual, ct):
-    onehot = jnp.asarray(
-        np.arange(num_times)[:, None] == np.array(tidx)[None, :], dtype=ct.dtype
-    )  # [T, rows] — static constant
-    # Flatten to an explicit [T, rows] @ [rows, N*D] matmul: without this XLA
-    # can fuse the one-hot multiply elementwise and materialise a
-    # [T, rows, N, D] intermediate (tens of GB at 1M paths).
+    # Explicit [T, rows] @ [rows, N*D] matmul: scatter-add or a fused one-hot
+    # multiply would materialise a [T, rows, N, D] intermediate on TPU.
+    onehot = _onehot(tidx, num_times, ct.dtype)
     rows = ct.shape[0]
     ct2 = ct.reshape(rows, -1)
     grad_states = jnp.matmul(onehot, ct2, precision="highest")
