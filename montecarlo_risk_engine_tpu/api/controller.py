@@ -82,6 +82,7 @@ class SimulationController:
         batch_products: bool = True,
         antithetic: bool = False,
         remat_paths: bool = False,
+        grad_chunk_size: int = 8,
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -145,6 +146,7 @@ class SimulationController:
         # Rematerialize path steps in reverse-mode AD (memory/compute trade
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
+        self.grad_chunk_size = int(grad_chunk_size)
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -836,6 +838,32 @@ class SimulationController:
 
     # -- public entry point (controller.py:663-709) ------------------------------------------
 
+    def _chunked_jacrev(self, fn):
+        """jacrev with the output-cotangent basis processed in chunks.
+
+        ``jax.jacrev`` vmaps the VJP over EVERY output at once, so a book with
+        V metric values multiplies backward memory by V (59x for a
+        CVA+EPE+PFE profile book — OOM at 1M paths on one chip).  Chunking
+        trades that for ceil(V / chunk) sequential backward sweeps, matching
+        the reference's per-value autograd loop (controller.py:609-627) at a
+        configurable memory/latency point.
+        """
+        chunk = max(1, int(self.grad_chunk_size))
+
+        def jac(p):
+            values, vjp = jax.vjp(fn, p)
+            n = values.shape[0]
+            basis = jnp.eye(n, dtype=values.dtype)
+            pieces = []
+            for start in range(0, n, chunk):
+                cts = basis[start : start + chunk]
+                pieces.append(jax.vmap(lambda ct: vjp(ct)[0])(cts))
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *pieces
+            )
+
+        return jac
+
     def _build_jitted(self):
         """Build (once) and cache the jitted value/gradient/Hessian pipelines
         so repeated run_simulation() calls reuse the compiled executables."""
@@ -843,12 +871,12 @@ class SimulationController:
             def flat_fn(p):
                 return self._flatten(self._compute(p))
 
+            values_only = lambda p: flat_fn(p)[0]
+            grads_fn = self._chunked_jacrev(values_only)
             self._flat_fn = flat_fn
             self._jitted_values = jax.jit(flat_fn)
-            self._jitted_grads = jax.jit(jax.jacrev(lambda p: flat_fn(p)[0]))
-            self._jitted_hessians = jax.jit(
-                jax.jacfwd(jax.jacrev(lambda p: flat_fn(p)[0]))
-            )
+            self._jitted_grads = jax.jit(grads_fn)
+            self._jitted_hessians = jax.jit(jax.jacfwd(grads_fn))
 
     def run_simulation(self, profile_dir: Optional[str] = None) -> SimulationResults:
         """Run the pipeline; optionally capture a device profile.
