@@ -20,7 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("RUN_TPU_PALLAS_TESTS"):
+    # TPU-hardware tests (test_pallas_kernel_tpu.py) need the real backend and
+    # f32: run them in a separate pytest invocation with this env var set.
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

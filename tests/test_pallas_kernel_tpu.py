@@ -1,0 +1,94 @@
+"""Statistical validation of the fused Pallas Heston-QE kernel.
+
+Runs ONLY on real TPU hardware (the Pallas kernel uses the TPU hardware PRNG
+and Mosaic-only ops; the rest of the suite pins itself to CPU in conftest.py).
+Invoke explicitly with:
+
+    RUN_TPU_PALLAS_TESTS=1 python -m pytest tests/test_pallas_kernel_tpu.py -q
+
+Checks the kernel stream against model-level invariants rather than the
+threefry engine bit-for-bit (different, equally valid PRNG stream):
+  * martingale property of the discounted spot,
+  * mean-reversion of the variance toward theta,
+  * a European call price vs the semi-analytic jnp-engine Monte Carlo value.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _tpu_available():
+    if not os.environ.get("RUN_TPU_PALLAS_TESTS"):
+        return False
+    try:
+        import jax
+
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _tpu_available(),
+    reason="needs RUN_TPU_PALLAS_TESTS=1 and a real TPU (hardware PRNG)",
+)
+
+PARAMS = (100.0, 0.6, 0.03, -0.7, 1.5, 0.04, 0.04)  # spot σ r ρ κ θ v0
+T = 1.0
+NUM_PATHS = 262_144
+
+
+@pytest.fixture(scope="module")
+def kernel_states():
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import heston_qe_paths
+
+    timeline = tuple(np.linspace(0.1, T, 10))
+    out = heston_qe_paths(PARAMS, timeline, NUM_PATHS, num_steps=4, seed=7)
+    return np.asarray(out)  # [T, N, 2] = (log-spot, variance)
+
+
+def test_discounted_spot_is_martingale(kernel_states):
+    spot, _, rate = PARAMS[0], PARAMS[1], PARAMS[2]
+    s_t = np.exp(kernel_states[-1, :, 0])
+    mean = s_t.mean() * np.exp(-rate * T)
+    se = s_t.std() * np.exp(-rate * T) / np.sqrt(NUM_PATHS)
+    assert abs(mean - spot) < 5 * se + 0.05 * spot * 1e-2
+
+
+def test_variance_mean_reverts(kernel_states):
+    _, _, _, _, kappa, theta, v0 = PARAMS
+    v_t = kernel_states[-1, :, 1]
+    expected = theta + (v0 - theta) * np.exp(-kappa * T)
+    assert abs(v_t.mean() - expected) < 0.1 * theta
+
+
+def test_european_call_matches_jnp_engine(kernel_states):
+    """Kernel MC call price vs the threefry jnp-engine MC price (same model)."""
+    import jax.numpy as jnp
+
+    from montecarlo_risk_engine_tpu.config import SimulationScheme
+    from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+    from montecarlo_risk_engine_tpu.models.heston import HestonModel
+    from montecarlo_risk_engine_tpu.rng import PHASE_MAINSIM
+
+    spot, sigma, rate, rho, kappa, theta, v0 = PARAMS
+    strike = 100.0
+    disc = np.exp(-rate * T)
+
+    s_t = np.exp(kernel_states[-1, :, 0])
+    px_kernel = disc * np.maximum(s_t - strike, 0.0).mean()
+
+    model = HestonModel(0.0, spot=spot, rate=rate, sigma=sigma, rho=rho,
+                        kappa=kappa, theta=theta, v0=v0)
+    states = simulate_paths(
+        model, model.initial_params(), SimulationScheme.QUADRATIC_EXPONENTIAL,
+        (T,), 131_072, 40, PHASE_MAINSIM,
+    )
+    s_ref = np.exp(np.asarray(states[-1, :, 0]))
+    px_ref = disc * np.maximum(s_ref - strike, 0.0).mean()
+
+    se = disc * np.maximum(s_t - strike, 0.0).std() / np.sqrt(NUM_PATHS)
+    se_ref = disc * np.maximum(s_ref - strike, 0.0).std() / np.sqrt(131_072)
+    assert abs(px_kernel - px_ref) < 5 * float(np.hypot(se, se_ref))
