@@ -165,3 +165,92 @@ def heston_qe_paths(
         axis=-1,
     )
     return states
+
+
+def bs_multi_paths(
+    spots: Sequence[float],
+    vols: Sequence[float],
+    rate: float,
+    correlation,
+    timeline: Sequence[float],
+    num_paths: int,
+    seed: int = 0,
+    calibration_date: float = 0.0,
+    rows_per_block: int = 256,
+):
+    """Correlated multi-asset GBM log-spots at timeline points: [T, N, D] f32.
+
+    The book benchmarks' market model (BlackScholesMulti, models/
+    black_scholes_multi.py — the reference's black_scholes_multi.py:63-96
+    torch loop): exact log-normal transitions per interval, correlation applied
+    as an unrolled Cholesky combination of per-asset hardware-PRNG normals (D
+    is small, so the D x D triangular combine stays in registers; state lives
+    in VMEM for the whole trajectory).
+
+    num_paths must be a multiple of rows_per_block * 128.
+    """
+    import numpy as _np
+
+    spots = [float(s) for s in spots]
+    vols = [float(s) for s in vols]
+    rate = float(rate)
+    num_assets = len(spots)
+    chol = _np.linalg.cholesky(_np.asarray(correlation, dtype=_np.float64))
+
+    block_paths = rows_per_block * _LANES
+    if num_paths % block_paths:
+        raise ValueError(f"num_paths must be a multiple of {block_paths}")
+    n_blocks = num_paths // block_paths
+    total_rows = num_paths // _LANES
+
+    points = [float(t) for t in timeline]
+    t_prev = float(calibration_date)
+    dts = []
+    for t in points:
+        dts.append(t - t_prev)
+        t_prev = t
+    num_points = len(points)
+
+    def kernel(seed_ref, out_ref):
+        block = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + block)
+        shape = (rows_per_block, _LANES)
+        log_s = [
+            jnp.full(shape, math.log(spots[d]), dtype=jnp.float32)
+            for d in range(num_assets)
+        ]
+        for point in range(num_points):
+            dt = dts[point]
+            if dt > 0.0:
+                # one normal per asset; pairs share a Box-Muller draw
+                zs = []
+                for _ in range((num_assets + 1) // 2):
+                    z_a, z_b = _normal_pair(shape)
+                    zs.extend((z_a, z_b))
+                sqrt_dt = math.sqrt(dt)
+                for d in range(num_assets):
+                    w = sum(
+                        float(chol[d, e]) * zs[e] for e in range(d + 1)
+                    )
+                    drift = (rate - 0.5 * vols[d] * vols[d]) * dt
+                    log_s[d] = log_s[d] + drift + vols[d] * sqrt_dt * w
+            for d in range(num_assets):
+                out_ref[point, d] = log_s[d]
+
+    out_shape = jax.ShapeDtypeStruct(
+        (num_points, num_assets, total_rows, _LANES), jnp.float32
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (num_points, num_assets, rows_per_block, _LANES),
+            lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=out_shape,
+    )(jnp.asarray([seed], dtype=jnp.int32))
+
+    # [T, D, rows, lanes] -> [T, N, D]
+    return jnp.moveaxis(out.reshape(num_points, num_assets, num_paths), 1, -1)

@@ -92,3 +92,29 @@ def test_european_call_matches_jnp_engine(kernel_states):
     se = disc * np.maximum(s_t - strike, 0.0).std() / np.sqrt(NUM_PATHS)
     se_ref = disc * np.maximum(s_ref - strike, 0.0).std() / np.sqrt(131_072)
     assert abs(px_kernel - px_ref) < 5 * float(np.hypot(se, se_ref))
+
+
+def test_bs_multi_correlation_and_martingale():
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+
+    rate = 0.03
+    spots = [95.0, 102.5, 110.0, 117.5]
+    vols = [0.18, 0.21, 0.24, 0.27]
+    corr = np.full((4, 4), 0.35)
+    np.fill_diagonal(corr, 1.0)
+    horizon = 2.0
+    n = 262_144
+
+    out = np.asarray(
+        bs_multi_paths(spots, vols, rate, corr, (0.5, horizon), n, seed=11)
+    )  # [2, N, 4] log-spots
+    s_t = np.exp(out[-1])
+    for d in range(4):
+        mean = s_t[:, d].mean() * np.exp(-rate * horizon)
+        se = s_t[:, d].std() * np.exp(-rate * horizon) / np.sqrt(n)
+        assert abs(mean - spots[d]) < 5 * se + 1e-2 * spots[d]
+
+    # realized log-return correlation vs the input matrix
+    logret = out[-1] - np.log(np.asarray(spots))[None, :]
+    emp = np.corrcoef(logret.T)
+    assert np.max(np.abs(emp - corr)) < 0.02
