@@ -115,6 +115,19 @@ class Model:
 
     # -- observables --------------------------------------------------------
 
+    @staticmethod
+    def _state_col(state, k: int):
+        """Column ``k`` of a [N, d] state; passes a pre-squeezed [N] state
+        through unchanged.
+
+        The hybrid container feeds d==1 sub-models a squeezed [N] column so
+        no [*, N, 1] array ever exists on the resolve path: TPU layout
+        assignment can tile a trailing unit dimension onto the 128-lane minor
+        axis, turning a 144MB cotangent into an 18GB padded copy (observed on
+        the north-star AAD run).
+        """
+        return state if state.ndim == 1 else state[:, k]
+
     def resolve_obs(self, params, kind, asset_id: str, t1, t2, state):
         """Resolve one observable kind from the state at one time point.
 

@@ -80,7 +80,7 @@ class BlackScholesModel(Model):
         # Reference black_scholes.py:87-111 — constant short rate closed forms.
         _, _, rate = self._unpack(params)
         if kind == AtomicRequestType.SPOT:
-            return state[:, 0]
+            return self._state_col(state, 0)
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:

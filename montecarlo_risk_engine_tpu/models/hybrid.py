@@ -198,4 +198,23 @@ class ModelConfig(Model):
         idx = self.id_to_model[asset_id]
         m = self.models[idx]
         s0, s1 = self._state_offsets[idx], self._state_offsets[idx + 1]
-        return m.resolve_obs(self._sub_params(params, idx), kind, asset_id, t1, t2, state[:, s0:s1])
+        # d==1 blocks are squeezed to [N] (see Model._state_col): a [N, 1]
+        # slice would otherwise ride through the AAD cotangent path and can be
+        # laid out with the unit dim on the 128-lane minor axis (128x HBM).
+        sub_state = state[:, s0] if s1 - s0 == 1 else state[:, s0:s1]
+        return m.resolve_obs(self._sub_params(params, idx), kind, asset_id, t1, t2, sub_state)
+
+    def resolve_request_rows(self, params, kind, asset_id, t1s, t2s, states_sel):
+        """Narrow to the owning sub-model ONCE for the whole request group
+        (rather than per vmapped row), then delegate to its fused resolver."""
+        idx = self.id_to_model[asset_id]
+        m = self.models[idx]
+        s0, s1 = self._state_offsets[idx], self._state_offsets[idx + 1]
+        sub = states_sel[:, :, s0] if s1 - s0 == 1 else states_sel[:, :, s0:s1]
+        import jax
+
+        return jax.vmap(
+            lambda t1, t2, state: m.resolve_obs(
+                self._sub_params(params, idx), kind, asset_id, t1, t2, state
+            )
+        )(t1s, t2s, sub)
