@@ -153,6 +153,10 @@ class Model:
         """
         import jax
 
+        if states_sel.ndim == 3 and states_sel.shape[-1] == 1:
+            # Single-factor models: drop the trailing unit dim before the vmap
+            # (see _state_col — avoids 128x TPU lane padding on cotangents).
+            states_sel = states_sel[..., 0]
         return jax.vmap(
             lambda t1, t2, state: self.resolve_obs(params, kind, asset_id, t1, t2, state)
         )(t1s, t2s, states_sel)

@@ -85,7 +85,7 @@ class BlackScholesMulti(Model):
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         rate = self._rate(params)
         if kind == AtomicRequestType.SPOT:
-            return state[:, self.asset_ids.index(asset_id)]
+            return self._state_col(state, self.asset_ids.index(asset_id))
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:
