@@ -40,7 +40,8 @@ HAZARDS = {1.0: 0.02, 2.0: 0.022, 3.0: 0.025, 5.0: 0.028, 10.0: 0.02}
 CP = "counterparty"
 
 
-def build(num_paths: int, hessian: bool, path_sharding=None):
+def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: int = 8,
+          remat_paths: bool = False):
     rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
                          volatility=0.012, asset_id="irs")
     equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22, asset_id="eq")
@@ -80,6 +81,8 @@ def build(num_paths: int, hessian: bool, path_sharding=None):
         simulation_scheme=SimulationScheme.EULER,
         differentiate=True,
         path_sharding=path_sharding,
+        grad_chunk_size=grad_chunk_size,
+        remat_paths=remat_paths,
     )
     if hessian:
         controller.compute_higher_derivatives()
@@ -90,8 +93,13 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     num_paths = int(args[0]) if args else 1_000_000
     hessian = "--hessian" in sys.argv
+    chunk = 8
+    for a in sys.argv[1:]:
+        if a.startswith("--chunk="):
+            chunk = int(a.split("=")[1])
 
-    controller = build(num_paths, hessian)
+    controller = build(num_paths, hessian, grad_chunk_size=chunk,
+                       remat_paths="--remat" in sys.argv)
     t0 = time.perf_counter()
     results = controller.run_simulation()
     cold = time.perf_counter() - t0
