@@ -120,13 +120,20 @@ class Model:
         """Column ``k`` of a [N, d] state; passes a pre-squeezed [N] state
         through unchanged.
 
-        The hybrid container feeds d==1 sub-models a squeezed [N] column so
-        no [*, N, 1] array ever exists on the resolve path: TPU layout
-        assignment can tile a trailing unit dimension onto the 128-lane minor
-        axis, turning a 144MB cotangent into an 18GB padded copy (observed on
-        the north-star AAD run).
+        Implemented as a one-hot contraction, not ``state[:, k]``: under the
+        vmapped request resolver the indexing VJP lowers to
+        ``broadcast -> pad`` with a resident [chunk, rows, N, 1] cotangent,
+        and TPU layout assignment can tile that unit dimension onto the
+        128-lane minor axis — a 144MB cotangent became an 18.4GB padded copy
+        on the 1M-path north-star AAD run.  The one-hot ``dot_general``'s VJP
+        is an outer product that materialises [chunk, rows, N, d] directly
+        (exact, since the weights are 0/1).
         """
-        return state if state.ndim == 1 else state[:, k]
+        if state.ndim == 1:
+            return state
+        d = state.shape[-1]
+        onehot = jnp.zeros((d,), state.dtype).at[k].set(1)
+        return jnp.matmul(state, onehot, precision="highest")
 
     def resolve_obs(self, params, kind, asset_id: str, t1, t2, state):
         """Resolve one observable kind from the state at one time point.

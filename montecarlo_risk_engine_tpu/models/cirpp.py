@@ -224,7 +224,7 @@ class CIRPPModel(Model):
 
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         if kind == AtomicRequestType.SURVIVAL_PROBABILITY:
-            return jnp.exp(-state[:, 1])
+            return jnp.exp(-self._state_col(state, 1))
         if kind == AtomicRequestType.CONDITIONAL_SURVIVAL_PROBABILITY:
-            return self.survival_probability(params, t1, t2, state[:, 0])
+            return self.survival_probability(params, t1, t2, self._state_col(state, 0))
         raise NotImplementedError(f"Request type {kind} not supported by CIRPPModel.")

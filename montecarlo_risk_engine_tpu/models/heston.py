@@ -185,7 +185,7 @@ class HestonModel(Model):
         # heston.py:255-280 — spot from log-state, constant-rate closed forms.
         _, _, rate, *_ = self._unpack(params)
         if kind == AtomicRequestType.SPOT:
-            return jnp.exp(state[:, 0])
+            return jnp.exp(self._state_col(state, 0))
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:

@@ -139,7 +139,7 @@ class HullWhiteModel(Model):
 
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         if kind == AtomicRequestType.SPOT:
-            return state[:, 0]
+            return self._state_col(state, 0)
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             # Market discount factor to time1 (deterministic at calibration).
             return jnp.exp(self._log_p0(t1) - self._log_p0(self.calibration_date))
@@ -147,10 +147,10 @@ class HullWhiteModel(Model):
             # Conditional bond price P(t1,t2) — consumed as a discount factor
             # by the Bond product, same convention as Vasicek
             # (vasicek.py:141-144).
-            return self.bond_price(params, t1, t2, state[:, 0])
+            return self.bond_price(params, t1, t2, self._state_col(state, 0))
         if kind == AtomicRequestType.LIBOR_RATE:
-            p = self.bond_price(params, t1, t2, state[:, 0])
+            p = self.bond_price(params, t1, t2, self._state_col(state, 0))
             return (1.0 / p - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
-            return jnp.exp(state[:, 1])
+            return jnp.exp(self._state_col(state, 1))
         raise NotImplementedError(f"Request type {kind} not supported by HullWhiteModel.")

@@ -136,7 +136,7 @@ class SchwartzTwoFactorModel(Model):
         # schwartz_two_factor.py:198-216 — constant-rate discounting.
         rate = params[0]
         if kind == AtomicRequestType.SPOT:
-            return jnp.exp(state[:, 0])
+            return jnp.exp(self._state_col(state, 0))
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
             return jnp.exp(-rate * (t1 - self.calibration_date))
         if kind == AtomicRequestType.FORWARD_RATE:

@@ -95,17 +95,17 @@ class VasicekModel(Model):
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         # vasicek.py:130-156
         if kind == AtomicRequestType.SPOT:
-            return state[:, 0]
+            return self._state_col(state, 0)
         if kind == AtomicRequestType.DISCOUNT_FACTOR:
-            return self.bond_price(params, self.calibration_date, t1, state[:, 0])
+            return self.bond_price(params, self.calibration_date, t1, self._state_col(state, 0))
         if kind == AtomicRequestType.FORWARD_RATE:
             # Reference returns the conditional bond price P(t1,t2) here
             # (vasicek.py:141-144) — the Bond product consumes it as a
             # discount factor.
-            return self.bond_price(params, t1, t2, state[:, 0])
+            return self.bond_price(params, t1, t2, self._state_col(state, 0))
         if kind == AtomicRequestType.LIBOR_RATE:
-            p = self.bond_price(params, t1, t2, state[:, 0])
+            p = self.bond_price(params, t1, t2, self._state_col(state, 0))
             return (1.0 / p - 1.0) / (t2 - t1)
         if kind == AtomicRequestType.NUMERAIRE:
-            return jnp.exp(state[:, 1])
+            return jnp.exp(self._state_col(state, 1))
         raise NotImplementedError(f"Request type {kind} not supported by VasicekModel.")

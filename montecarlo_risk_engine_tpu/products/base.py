@@ -140,6 +140,12 @@ class Product:
     def lookup_state_values(self, values_by_state, state_matrix):
         """Gather per-state values at given (integer) states
         (product.py:150-155): values_by_state [N, S], state_matrix [N, K]."""
+        if values_by_state.shape[1] == 1 and state_matrix.shape[1] == 1:
+            # Single-state products (bonds, swaps, terminal payoffs): the
+            # gather is the identity.  take_along_axis here would put a
+            # [*, N, 1] cotangent through the AAD path, which TPU layout
+            # assignment can lane-pad 128x (see models/base._state_col).
+            return values_by_state
         return jnp.take_along_axis(values_by_state, state_matrix.astype(int), axis=1)
 
     # -- continuation values (product.py:157-184) -----------------------------
