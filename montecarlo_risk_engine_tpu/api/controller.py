@@ -83,6 +83,7 @@ class SimulationController:
         antithetic: bool = False,
         remat_paths: bool = False,
         grad_chunk_size: int = 8,
+        grad_mode: str = "auto",
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -147,6 +148,9 @@ class SimulationController:
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
         self.grad_chunk_size = int(grad_chunk_size)
+        if grad_mode not in ("auto", "fwd", "rev"):
+            raise ValueError("grad_mode must be 'auto', 'fwd' or 'rev'")
+        self.grad_mode = grad_mode
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -864,15 +868,34 @@ class SimulationController:
 
         return jac
 
-    def _build_jitted(self):
+    def _build_jitted(self, params):
         """Build (once) and cache the jitted value/gradient/Hessian pipelines
-        so repeated run_simulation() calls reuse the compiled executables."""
+        so repeated run_simulation() calls reuse the compiled executables.
+
+        Gradient transform choice (``grad_mode="auto"``): a risk book has few
+        model parameters (tens) and many metric values (V = metrics x
+        exposure dates), so ``jacfwd`` — P forward tangents in ONE pass, no
+        stored scan residuals, no output-cotangent fan-out — is the
+        memory-optimal direction whenever P <= V.  Reverse mode (the
+        reference's direction, controller.py:609-627) only wins for
+        calibration-sized parameter vectors; it remains available as
+        ``grad_mode="rev"`` with chunked output cotangents."""
         if getattr(self, "_jitted_values", None) is None:
             def flat_fn(p):
                 return self._flatten(self._compute(p))
 
             values_only = lambda p: flat_fn(p)[0]
-            grads_fn = self._chunked_jacrev(values_only)
+            mode = self.grad_mode
+            if mode == "auto":
+                num_values = int(
+                    jax.eval_shape(values_only, params).shape[0]
+                )
+                mode = "fwd" if len(params) <= num_values else "rev"
+            if mode == "fwd":
+                grads_fn = jax.jacfwd(values_only)
+            else:
+                grads_fn = self._chunked_jacrev(values_only)
+            self._grad_mode_resolved = mode
             self._flat_fn = flat_fn
             self._jitted_values = jax.jit(flat_fn)
             self._jitted_grads = jax.jit(grads_fn)
@@ -902,7 +925,7 @@ class SimulationController:
                 self.metric_exposure_timeline,
             )
         params = tuple(self.model.initial_params())
-        self._build_jitted()
+        self._build_jitted(params)
 
         t1 = time.perf_counter()
         values, errors = self._jitted_values(params)

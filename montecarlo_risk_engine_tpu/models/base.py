@@ -115,25 +115,30 @@ class Model:
 
     # -- observables --------------------------------------------------------
 
-    @staticmethod
-    def _state_col(state, k: int):
-        """Column ``k`` of a [N, d] state; passes a pre-squeezed [N] state
-        through unchanged.
+    # Static column offset into a wider joint state: the hybrid ModelConfig
+    # hands sub-models the FULL [N, D] state and sets this to the sub-model's
+    # state-block start so column reads are absolute (no narrowing slice whose
+    # VJP would pad [*, N, d] -> [*, N, D] with a small minor axis).
+    _col_offset: int = 0
 
-        Implemented as a one-hot contraction, not ``state[:, k]``: under the
-        vmapped request resolver the indexing VJP lowers to
-        ``broadcast -> pad`` with a resident [chunk, rows, N, 1] cotangent,
-        and TPU layout assignment can tile that unit dimension onto the
-        128-lane minor axis — a 144MB cotangent became an 18.4GB padded copy
-        on the 1M-path north-star AAD run.  The one-hot ``dot_general``'s VJP
-        is an outer product that materialises [chunk, rows, N, d] directly
-        (exact, since the weights are 0/1).
+    def _state_col(self, state, k: int):
+        """Column ``k`` (relative to ``_col_offset``) of a [N, d] state;
+        passes a pre-squeezed [N] state through unchanged.
+
+        Uses :func:`pick_state_col`, whose reverse rule never materialises a
+        tensor with a small minor axis: a plain ``state[:, k]`` under the
+        vmapped request resolver reverse-differentiates to ``broadcast ->
+        pad`` with a resident [chunk, rows, N, 1] cotangent, and the TPU AOT
+        layout assigner tiled that unit dim onto the 128-lane minor axis —
+        a 144MB cotangent became an 18.4GB padded copy on the 1M-path
+        north-star AAD run (same failure again as [chunk, rows, N, 2] for the
+        one-hot-contraction variant).
         """
         if state.ndim == 1:
             return state
-        d = state.shape[-1]
-        onehot = jnp.zeros((d,), state.dtype).at[k].set(1)
-        return jnp.matmul(state, onehot, precision="highest")
+        from montecarlo_risk_engine_tpu.ops.gather import pick_state_col
+
+        return pick_state_col(state, k + self._col_offset)
 
     def resolve_obs(self, params, kind, asset_id: str, t1, t2, state):
         """Resolve one observable kind from the state at one time point.

@@ -67,6 +67,12 @@ class ModelConfig(Model):
                 self.id_to_model[a] = idx
 
         self._state_offsets = np.cumsum([0] + [m.state_dim for m in models])
+        # Sub-models resolve observables from the FULL joint state with
+        # absolute column reads (see resolve_obs below); their state-block
+        # start is a static per-instance attribute.  Note: a model instance
+        # inside a ModelConfig should not simultaneously be used standalone.
+        for i, m in enumerate(models):
+            m._col_offset = int(self._state_offsets[i])
         self._sim_offsets = np.cumsum([0] + [m.simulation_dim for m in models])
         self._param_offsets = np.cumsum([0] + [len(m.initial_params()) for m in models])
 
@@ -195,26 +201,24 @@ class ModelConfig(Model):
     # -- observables --------------------------------------------------------------
 
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
+        # Sub-models read ABSOLUTE columns of the full joint state via their
+        # static ``_col_offset`` (set in __init__): a narrowing slice here
+        # would reverse-differentiate to a pad whose [*, N, d] cotangent the
+        # TPU AOT layout assigner can lane-pad 64-128x (see
+        # Model._state_col / ops/gather.pick_state_col).
         idx = self.id_to_model[asset_id]
         m = self.models[idx]
-        s0, s1 = self._state_offsets[idx], self._state_offsets[idx + 1]
-        # d==1 blocks are squeezed to [N] (see Model._state_col): a [N, 1]
-        # slice would otherwise ride through the AAD cotangent path and can be
-        # laid out with the unit dim on the 128-lane minor axis (128x HBM).
-        sub_state = state[:, s0] if s1 - s0 == 1 else state[:, s0:s1]
-        return m.resolve_obs(self._sub_params(params, idx), kind, asset_id, t1, t2, sub_state)
+        return m.resolve_obs(self._sub_params(params, idx), kind, asset_id, t1, t2, state)
 
     def resolve_request_rows(self, params, kind, asset_id, t1s, t2s, states_sel):
-        """Narrow to the owning sub-model ONCE for the whole request group
-        (rather than per vmapped row), then delegate to its fused resolver."""
+        """Delegate a whole request group to the owning sub-model on the FULL
+        joint state (absolute column reads — no narrowing slice)."""
         idx = self.id_to_model[asset_id]
         m = self.models[idx]
-        s0, s1 = self._state_offsets[idx], self._state_offsets[idx + 1]
-        sub = states_sel[:, :, s0] if s1 - s0 == 1 else states_sel[:, :, s0:s1]
         import jax
 
         return jax.vmap(
             lambda t1, t2, state: m.resolve_obs(
                 self._sub_params(params, idx), kind, asset_id, t1, t2, state
             )
-        )(t1s, t2s, sub)
+        )(t1s, t2s, states_sel)

@@ -1,64 +1,68 @@
-"""Time-axis row gather with a TPU-safe reverse-mode rule.
+"""TPU-safe gathers for the observable-resolution plane.
 
-``states[tidx]`` (advanced indexing on the leading time axis) is the engine's
-observable-schedule primitive.  Its default VJP is a scatter-add, which the
-TPU backend can lower into a padded dense intermediate of shape
-[T, rows, N, D] — 73GB for the north-star config at 1M paths.  This custom
-rule keeps the forward a plain gather and expresses the backward as a one-hot
-matmul (flops ~ rows*T*N*D, all MXU-friendly; cotangent memory is exactly
-[T, N, D]).
+Two lowering pathologies motivate this module (both observed OOM-ing the
+1M-path north-star AAD run on a 16GB v5e):
+
+* ``states[tidx]`` (leading-axis gather on [T, N, D]) — the TPU backend can
+  lower the forward into a padded dense select and the reverse scatter-add
+  into a [T, rows, N, D] intermediate (73GB at 1M paths).
+* ``state[..., k]`` (small-axis column read) — reverse-differentiates to
+  ``broadcast -> pad`` with a resident [chunk, rows, N, 1] cotangent that the
+  AOT layout assigner may tile onto the 128-lane minor axis (a 144MB
+  cotangent became an 18.4GB copy).
+
+Instead of custom_vjp rules (which would block forward-mode jacfwd — the
+memory-optimal transform for few-parameter books), both ops are expressed as
+primitives whose AUTOMATIC transposes are the lowerings we want:
+
+* the time gather is a one-hot matmul — its transpose is the transposed
+  matmul (MXU-friendly both directions, cotangent memory exactly [T, N, D]);
+* the column read is a strided ``lax.slice`` on the flattened [.., N*d]
+  buffer — its transpose is an interior-dilated ``lax.pad`` writing
+  ``grad.flat[n*d + k] = ct[n]`` directly, so no tensor with a small minor
+  axis ever exists.
+
+Both therefore compose with jvp (jacfwd), vjp (jacrev), and vmap.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _onehot(tidx, num_times, dtype, transpose=False):
-    grid = np.arange(num_times)[:, None] == np.array(tidx)[None, :]  # [T, rows]
-    return jnp.asarray(grid.T if transpose else grid, dtype=dtype)
-
-
-def _take_impl(states, tidx, num_times):
+def take_time_rows(states, tidx: tuple, num_times: int):
+    """states [T, N, D] -> [len(tidx), N, D]; tidx is a static index tuple."""
     if jax.default_backend() == "tpu":
-        # The TPU backend lowers a leading-axis gather into a padded dense
-        # select of shape [rows, T, N, D] (OOM at 1M paths); an explicit
-        # [rows, T] @ [T, N*D] matmul lowers cleanly onto the MXU.
-        onehot_t = _onehot(tidx, num_times, states.dtype, transpose=True)
+        # Explicit [rows, T] @ [T, N*D] matmul: the TPU backend lowers a
+        # leading-axis gather into a padded dense select (OOM at 1M paths),
+        # and AD transposes the matmul into a matmul.
+        grid = np.array(tidx)[:, None] == np.arange(num_times)[None, :]
+        onehot_t = jnp.asarray(grid, states.dtype)  # [rows, T]
         flat = states.reshape(states.shape[0], -1)
         out = jnp.matmul(onehot_t, flat, precision="highest")
         return out.reshape((len(tidx),) + states.shape[1:])
     return states[np.array(tidx)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def take_time_rows(states, tidx: tuple, num_times: int):
-    """states [T, N, D] -> [len(tidx), N, D]; tidx is a static index tuple."""
-    return _take_impl(states, tidx, num_times)
-
-
-def _fwd(states, tidx, num_times):
-    return _take_impl(states, tidx, num_times), None
-
-
-def _bwd(tidx, num_times, _residual, ct):
-    # Explicit [T, rows] @ [rows, N*D] matmul: scatter-add or a fused one-hot
-    # multiply would materialise a [T, rows, N, D] intermediate on TPU.
-    onehot = _onehot(tidx, num_times, ct.dtype)
-    rows = ct.shape[0]
-    ct2 = ct.reshape(rows, -1)
-    grad_states = jnp.matmul(onehot, ct2, precision="highest")
-    return (grad_states.reshape((num_times,) + ct.shape[1:]),)
-
-
-take_time_rows.defvjp(_fwd, _bwd)
-
-
 def gather_rows(states, tidx) -> jnp.ndarray:
     """Convenience wrapper accepting numpy index arrays."""
     idx = tuple(int(i) for i in np.asarray(tidx).ravel())
     return take_time_rows(states, idx, int(states.shape[0]))
+
+
+def pick_state_col(state, k: int):
+    """``state[..., k]`` via a strided slice of the flattened minor axes.
+
+    The transpose of ``lax.slice(strides=d)`` is ``lax.pad(interior=d-1)``
+    on the [.., N*d] buffer — the reverse-mode gradient is materialised with
+    minor axis N*d, never [.., N, 1]/[.., N, d] with the small dim minor.
+    """
+    d = int(state.shape[-1])
+    n = int(state.shape[-2])
+    flat = state.reshape(state.shape[:-2] + (n * d,))
+    starts = [0] * (flat.ndim - 1) + [k]
+    limits = list(flat.shape[:-1]) + [n * d - (d - 1 - k)]
+    strides = [1] * (flat.ndim - 1) + [d]
+    return jax.lax.slice(flat, starts, limits, strides)
