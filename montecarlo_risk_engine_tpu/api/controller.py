@@ -868,6 +868,34 @@ class SimulationController:
 
         return jac
 
+    def _chunked_jacfwd(self, fn):
+        """jacfwd with the parameter tangent basis processed in chunks.
+
+        ``jax.jacfwd`` vmaps the JVP over EVERY parameter at once, so the
+        per-step tangent stack scales with P (the 12-param north-star book's
+        [T, P, N, D] states tangents are 18GB at 1M paths).  Chunking caps
+        that at [T, chunk, N, D] per sequential forward sweep.
+        """
+        chunk = max(1, int(self.grad_chunk_size))
+
+        def jac(p):
+            n = len(p)
+            rows = []  # [chunk, V] pieces
+            for start in range(0, n, chunk):
+                idxs = list(range(start, min(start + chunk, n)))
+                basis = tuple(
+                    jnp.asarray(
+                        [1.0 if j == i else 0.0 for i in idxs],
+                        dtype=jnp.result_type(p[j]),
+                    )
+                    for j in range(n)
+                )
+                rows.append(jax.vmap(lambda tb: jax.jvp(fn, (p,), (tb,))[1])(basis))
+            all_rows = jnp.concatenate(rows, axis=0)  # [P, V]
+            return tuple(all_rows[i] for i in range(n))
+
+        return jac
+
     def _build_jitted(self, params):
         """Build (once) and cache the jitted value/gradient/Hessian pipelines
         so repeated run_simulation() calls reuse the compiled executables.
@@ -892,7 +920,7 @@ class SimulationController:
                 )
                 mode = "fwd" if len(params) <= num_values else "rev"
             if mode == "fwd":
-                grads_fn = jax.jacfwd(values_only)
+                grads_fn = self._chunked_jacfwd(values_only)
             else:
                 grads_fn = self._chunked_jacrev(values_only)
             self._grad_mode_resolved = mode
