@@ -148,6 +148,11 @@ class SimulationController:
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
         self.grad_chunk_size = int(grad_chunk_size)
+        # The controller's resolution plane uses path-minor [T, D, N] states
+        # (see engine.simulate_paths(transpose_states=True) and
+        # Model.set_state_layout) so the TPU layout assigner never lane-pads a
+        # small minor axis.
+        model.set_state_layout(True)
         if grad_mode not in ("auto", "fwd", "rev"):
             raise ValueError("grad_mode must be 'auto', 'fwd' or 'rev'")
         self.grad_mode = grad_mode
@@ -796,6 +801,7 @@ class SimulationController:
                 self.num_paths_presim, self.num_steps, rng.PHASE_PRESIM,
                 root_seed=self.root_seed, path_sharding=self.path_sharding,
                 antithetic=self.antithetic, remat=self.remat_paths,
+                transpose_states=True,
             )
             resolved_pre = plan.resolve_requests(params, states_pre)
             if self._batches:
@@ -824,6 +830,7 @@ class SimulationController:
             self.num_paths_mainsim, self.num_steps, rng.PHASE_MAINSIM,
             root_seed=self.root_seed, path_sharding=self.path_sharding,
             antithetic=self.antithetic, remat=self.remat_paths,
+            transpose_states=True,
         )
         resolved = plan.resolve_requests(params, states)
         return self._evaluate_products(params, resolved, states)

@@ -62,6 +62,7 @@ def simulate_paths(
     path_sharding=None,
     antithetic: bool = False,
     remat: bool = False,
+    transpose_states: bool = False,
 ):
     """Simulate states at each timeline point.
 
@@ -72,13 +73,20 @@ def simulate_paths(
     in-step intermediates (RNG bits, noise, branch terms) instead of storing
     them — trades ~2x step FLOPs for O(state) instead of O(intermediates)
     backward memory per step (SURVEY.md §5.7, 16M-path AAD runs).
-    Returns [T, num_paths, state_dim].
+    transpose_states: emit [T, state_dim, num_paths] instead of
+    [T, num_paths, state_dim].  The controller pipeline uses this layout so
+    every resident array on the resolution plane keeps the path axis minor —
+    the TPU AOT layout assigner pads small minor axes onto the 128-lane tile
+    (a [.., N, 5] copy cost 25.6x HBM at 1M paths; see docs/TUNING.md).
+    Returns [T, num_paths, state_dim] (or transposed).
     """
     if antithetic and num_paths % 2:
         raise ValueError("antithetic sampling requires an even num_paths")
     dtype = real_dtype()
     num_points = len(timeline)
     if num_points == 0:
+        if transpose_states:
+            return jnp.zeros((0, model.state_dim, num_paths), dtype=dtype)
         return jnp.zeros((0, num_paths, model.state_dim), dtype=dtype)
 
     t_prev_arr, dt_arr = build_step_schedule(model.calibration_date, timeline)
@@ -157,7 +165,7 @@ def simulate_paths(
 
     def point_body(state, xs):
         state = point_step(state, *xs)
-        return state, state
+        return state, (state.T if transpose_states else state)
 
     xs = (jnp.arange(num_points), t_prev_arr, dt_arr)
     _, states = jax.lax.scan(point_body, state0, xs)

@@ -120,6 +120,15 @@ class Model:
     # state-block start so column reads are absolute (no narrowing slice whose
     # VJP would pad [*, N, d] -> [*, N, D] with a small minor axis).
     _col_offset: int = 0
+    # Orientation of the state arrays seen by resolve_obs: False = [N, d]
+    # (the step/init convention, default), True = [d, N] (the controller's
+    # resolution plane — path axis minor, so neither forward values nor AD
+    # cotangents ever put a small axis on the 128-lane minor tile).
+    _state_transposed: bool = False
+
+    def set_state_layout(self, transposed: bool) -> None:
+        """Select the state orientation handed to resolve_obs (see above)."""
+        self._state_transposed = bool(transposed)
 
     def _state_col(self, state, k: int):
         """Column ``k`` (relative to ``_col_offset``) of a [N, d] state;
@@ -136,6 +145,10 @@ class Model:
         """
         if state.ndim == 1:
             return state
+        if self._state_transposed:
+            # [d, N]: a leading-axis row read — its transpose pads on the
+            # LEADING axis, leaving the path-minor layout intact.
+            return state[k + self._col_offset]
         from montecarlo_risk_engine_tpu.ops.gather import pick_state_col
 
         return pick_state_col(state, k + self._col_offset)
@@ -165,10 +178,13 @@ class Model:
         """
         import jax
 
-        if states_sel.ndim == 3 and states_sel.shape[-1] == 1:
-            # Single-factor models: drop the trailing unit dim before the vmap
+        if states_sel.ndim == 3:
+            # Single-factor models: drop the unit state dim before the vmap
             # (see _state_col — avoids 128x TPU lane padding on cotangents).
-            states_sel = states_sel[..., 0]
+            if self._state_transposed and states_sel.shape[1] == 1:
+                states_sel = states_sel[:, 0]
+            elif not self._state_transposed and states_sel.shape[-1] == 1:
+                states_sel = states_sel[..., 0]
         return jax.vmap(
             lambda t1, t2, state: self.resolve_obs(params, kind, asset_id, t1, t2, state)
         )(t1s, t2s, states_sel)

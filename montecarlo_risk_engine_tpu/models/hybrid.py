@@ -90,6 +90,11 @@ class ModelConfig(Model):
                     self._inter_corr.append(block)
                 pair_idx += 1
 
+    def set_state_layout(self, transposed: bool) -> None:
+        super().set_state_layout(transposed)
+        for m in self.models:
+            m.set_state_layout(transposed)
+
     # -- params ---------------------------------------------------------------
 
     def initial_params(self):
