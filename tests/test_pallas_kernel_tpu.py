@@ -83,7 +83,7 @@ def test_european_call_matches_jnp_engine(kernel_states):
     model = HestonModel(0.0, spot=spot, rate=rate, sigma=sigma, rho=rho,
                         kappa=kappa, theta=theta, v0=v0)
     states = simulate_paths(
-        model, model.initial_params(), SimulationScheme.QUADRATIC_EXPONENTIAL,
+        model, model.initial_params(), SimulationScheme.QE,
         (T,), 131_072, 40, PHASE_MAINSIM,
     )
     s_ref = np.exp(np.asarray(states[-1, :, 0]))
