@@ -16,6 +16,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from benchmarks import _cache
+
+_cache.enable()
+
 from benchmarks.pv_large_book import build_book
 from montecarlo_risk_engine_tpu import (
     BlackScholesMulti,

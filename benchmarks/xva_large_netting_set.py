@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from benchmarks import _cache
+
+_cache.enable()
+
 from montecarlo_risk_engine_tpu import (
     BlackScholesModel,
     CIRPPModel,

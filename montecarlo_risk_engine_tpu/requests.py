@@ -95,6 +95,30 @@ class UnderlyingRequest:
         return hash(self.key())
 
 
+
+def _underlying_order(req: "UnderlyingRequest"):
+    ua = req.underlying_asset
+    return (
+        type(ua).__name__,
+        tuple(getattr(ua, "asset_ids", ()) or ()),
+        tuple(float(t) for t in getattr(ua, "modeling_timeline", ()) or ()),
+    )
+
+
+def _req_order(req: "AtomicRequest"):
+    """Deterministic sort key for hash-ordered request sets.
+
+    AtomicRequest hashes include strings, so set iteration order follows
+    PYTHONHASHSEED — which permutes the traced op order across processes and
+    breaks the persistent compilation cache (identical runs produced
+    different cache keys; see docs/TUNING.md).
+    """
+    return (
+        req.request_type.value,
+        -1.0 if req.time1 is None else float(req.time1),
+        -1.0 if req.time2 is None else float(req.time2),
+    )
+
 class RequestPlan:
     """Collects, deduplicates and indexes all requests; resolves them under jit.
 
@@ -145,17 +169,17 @@ class RequestPlan:
             # (reference request_interface.py:41-58).
             for local_t, und_reqs in prod.get_underlying_requests().items():
                 time_idx = time_to_index[float(prod.modeling_timeline[local_t])]
-                for und_req in und_reqs:
+                for und_req in sorted(und_reqs, key=_underlying_order):
                     register_composite(und_req, time_idx)
                     for label, reqs in und_req.get_atomic_requests().items():
                         asset_id = label[1]
-                        for req in reqs:
+                        for req in sorted(reqs, key=_req_order):
                             register_atomic(req, time_idx, asset_id)
 
             # The product's own atomic requests (request_interface.py:61-74).
             for (local_t, asset_id), reqs in prod.get_atomic_requests().items():
                 time_idx = time_to_index[float(prod.modeling_timeline[local_t])]
-                for req in reqs:
+                for req in sorted(reqs, key=_req_order):
                     register_atomic(req, time_idx, asset_id)
 
         # Controller/metric exposure requests (request_interface.py:77-92).
@@ -167,7 +191,7 @@ class RequestPlan:
             else:
                 exposure_time = float(t)
             time_idx = time_to_index[exposure_time]
-            for req in reqs:
+            for req in sorted(reqs, key=_req_order):
                 register_atomic(req, time_idx, asset_id)
 
         self.num_atomic_requests = len(atomic_handles)
@@ -194,7 +218,7 @@ class RequestPlan:
 
         groups: Dict[Tuple[str, AtomicRequestType], list] = defaultdict(list)
         for (time_idx, asset_id), reqs in self.atomic_by_label.items():
-            for req in reqs:
+            for req in sorted(reqs, key=_req_order):
                 groups[(asset_id, req.request_type)].append((time_idx, req))
 
         resolved = [None] * self.num_atomic_requests
@@ -211,7 +235,7 @@ class RequestPlan:
 
         resolved_composite = [None] * self.num_composite_requests
         for _, comp_reqs in self.composite_by_time.items():
-            for req in comp_reqs:
+            for req in sorted(comp_reqs, key=lambda r: r.get_handle()):
                 resolved_composite[req.get_handle()] = req.get_value(resolved)
 
         return [resolved, resolved_composite]
