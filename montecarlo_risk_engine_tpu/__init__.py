@@ -7,7 +7,7 @@ and first/second-order sensitivities via jax autodiff — all compiled into a
 single device program with paths sharded across a TPU mesh.
 """
 
-from montecarlo_risk_engine_tpu.config import SimulationScheme, set_real_dtype
+from montecarlo_risk_engine_tpu.config import enable_compilation_cache, SimulationScheme, set_real_dtype
 from montecarlo_risk_engine_tpu.api.controller import SimulationController
 from montecarlo_risk_engine_tpu.api.results import SimulationResults
 from montecarlo_risk_engine_tpu.metrics.metrics import (
