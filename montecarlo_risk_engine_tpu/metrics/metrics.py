@@ -142,34 +142,78 @@ class EEPEMetric(Metric):
         return [mc_mean_and_error(per_date_ee)]
 
 
+# Above this many paths PFE switches from a global sort to the bisection
+# order statistic (ops/quantile.order_statistics_bisect): exact same value,
+# but only count-reductions — no O(N log N) sort and, on a sharded paths
+# axis, no all-gather of the exposure vector (SURVEY.md §5.8).
+PFE_BISECT_THRESHOLD = 2_000_000
+
+
 class PFEMetric(Metric):
     def __init__(self, quantile: float = 0.95,
-                 evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+                 evaluation_type: EvaluationType = EvaluationType.NUMERICAL,
+                 bisect_threshold: Optional[int] = None):
         super().__init__(MetricType.PFE, evaluation_type)
         self.quantile = float(quantile)
+        self.bisect_threshold = (
+            PFE_BISECT_THRESHOLD if bisect_threshold is None else int(bisect_threshold)
+        )
 
     def get_name(self) -> str:
         return f"pfe[{self.quantile:g}]"
 
-    def _quantile_se(self, sorted_vals, q_index: int):
-        n = sorted_vals.shape[0]
+    def _quantile_se(self, below, pfe, above, n: int, q_index: int):
+        """Density-FD quantile standard error (pfe_metric.py:13-44).
+
+        below/above are the (q_index-1)/(q_index+1) order statistics."""
         if q_index == 0 or q_index == n - 1:
-            return jnp.zeros((), dtype=sorted_vals.dtype)
-        pfe = sorted_vals[q_index]
+            return jnp.zeros((), dtype=pfe.dtype)
         # density via central finite difference; flat region -> zero error
-        f_q = (sorted_vals[q_index + 1] - sorted_vals[q_index - 1]) / 2.0
-        flat = (sorted_vals[q_index - 1] == pfe) & (sorted_vals[q_index + 1] == pfe)
+        f_q = (above - below) / 2.0
+        flat = (below == pfe) & (above == pfe)
         f_q = jnp.maximum(f_q, 1e-6)
         se = jnp.sqrt(self.quantile * (1.0 - self.quantile) / (n * f_q * f_q))
         return jnp.where(flat, 0.0, se)
 
     def evaluate_numerically(self, exposures=None, **kwargs):
+        if len(exposures) == 0:
+            return []
+        n = exposures[0].shape[0]
+        q_index = int(math.ceil(self.quantile * n)) - 1
+        if n > self.bisect_threshold:
+            from montecarlo_risk_engine_tpu.ops.quantile import order_statistics_bisect
+
+            ks = sorted({max(q_index - 1, 0), q_index, min(q_index + 1, n - 1)})
+            pos = {k: i for i, k in enumerate(ks)}
+            # one batched bisection across every exposure date and all three
+            # neighbouring order statistics: iters passes over [T_exp, N]
+            stats = order_statistics_bisect(jnp.stack(exposures), ks)  # [K, T_exp]
+            return [
+                (
+                    stats[pos[q_index], i],
+                    self._quantile_se(
+                        stats[pos[max(q_index - 1, 0)], i],
+                        stats[pos[q_index], i],
+                        stats[pos[min(q_index + 1, n - 1)], i],
+                        n, q_index,
+                    ),
+                )
+                for i in range(len(exposures))
+            ]
         results = []
         for e in exposures:
-            n = e.shape[0]
-            q_index = int(math.ceil(self.quantile * n)) - 1
             sorted_vals = jnp.sort(e)
-            results.append((sorted_vals[q_index], self._quantile_se(sorted_vals, q_index)))
+            results.append(
+                (
+                    sorted_vals[q_index],
+                    self._quantile_se(
+                        sorted_vals[max(q_index - 1, 0)],
+                        sorted_vals[q_index],
+                        sorted_vals[min(q_index + 1, n - 1)],
+                        n, q_index,
+                    ),
+                )
+            )
         return results
 
 
