@@ -79,6 +79,53 @@ class ObservableTables:
         return self._cache[key]
 
 
+class EmittedTables:
+    """ObservableTables drop-in backed by the streaming engine's emissions.
+
+    No state plane exists in streaming mode (SURVEY.md §5.7): every observable
+    was already resolved inside the path scan, so a rows() query is a static
+    gather from the group's [T*K, N] emission array — one one-hot matmul on
+    TPU (ops/gather.take_time_rows), never a resolve against [T, D, N] states.
+    """
+
+    def __init__(self, plan, schedule, emissions, params, num_paths):
+        self.plan = plan
+        self.schedule = schedule
+        self.emissions = emissions
+        self.params = params
+        self.num_paths = num_paths
+        self._cache: Dict[Tuple, object] = {}
+
+    def rows(self, kind, asset_id: str, tidx: np.ndarray, times: np.ndarray):
+        """Resolved observable rows [len(tidx), N] for (kind, asset)."""
+        key = (kind, asset_id, tuple(np.asarray(tidx).tolist()))
+        if key not in self._cache:
+            lookup = self.schedule.kind_lookup
+            locs = []
+            for t in np.asarray(tidx).tolist():
+                lkey = (int(t), asset_id, kind)
+                if lkey not in lookup:
+                    raise KeyError(
+                        f"streaming emission missing for {kind} on '{asset_id}' "
+                        f"at time index {t} — request not registered in the plan"
+                    )
+                locs.append(self.schedule.handle_loc[lookup[lkey]])
+            group_ids = {g for g, _ in locs}
+            assert len(group_ids) == 1, "one (kind, asset) query spans one group"
+            flat = self.emissions[locs[0][0]]
+            rows_idx = tuple(r for _, r in locs)
+            if flat.ndim >= 2:
+                from montecarlo_risk_engine_tpu.ops.gather import take_time_rows
+
+                out = take_time_rows(flat, rows_idx, int(flat.shape[0]))
+            else:
+                out = flat[np.array(rows_idx)]
+            if out.ndim == 1:
+                out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))
+            self._cache[key] = out
+        return self._cache[key]
+
+
 def _unique_rows(tidx_flat: np.ndarray, times_flat: np.ndarray):
     uniq, inverse = np.unique(tidx_flat, return_inverse=True)
     time_for_uniq = np.zeros(len(uniq))

@@ -84,6 +84,7 @@ class SimulationController:
         remat_paths: bool = False,
         grad_chunk_size: int = 8,
         grad_mode: str = "auto",
+        streaming: object = "auto",
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -148,14 +149,17 @@ class SimulationController:
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
         self.grad_chunk_size = int(grad_chunk_size)
-        # The controller's resolution plane uses path-minor [T, D, N] states
-        # (see engine.simulate_paths(transpose_states=True) and
-        # Model.set_state_layout) so the TPU layout assigner never lane-pads a
-        # small minor axis.
-        model.set_state_layout(True)
         if grad_mode not in ("auto", "fwd", "rev"):
             raise ValueError("grad_mode must be 'auto', 'fwd' or 'rev'")
         self.grad_mode = grad_mode
+        # Streaming observable engine (SURVEY.md §5.7): resolve requests
+        # INSIDE the path scan and never materialise the [T, D, N] state
+        # plane.  "auto" enables it unless the emission tables would be
+        # much larger than the plane (pathological sparse-request books).
+        if streaming not in ("auto", True, False):
+            raise ValueError("streaming must be 'auto', True or False")
+        self.streaming = streaming
+        self._emission_schedule = None
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -671,7 +675,7 @@ class SimulationController:
             )
         return metric_results
 
-    def _evaluate_products(self, params, resolved, states=None):
+    def _evaluate_products(self, params, resolved, tables=None):
         num_exposure_dates = len(self.exposure_timeline)
         accumulators = []
         for _ in self.netting_sets:
@@ -694,13 +698,9 @@ class SimulationController:
 
         # Family-batched groups: one kernel per group, per-netting-set
         # aggregation via segment-sum.
-        if self._batches and states is not None:
-            from montecarlo_risk_engine_tpu.api.batching import (
-                ExerciseEquityBatch,
-                ObservableTables,
-            )
+        if self._batches and tables is not None:
+            from montecarlo_risk_engine_tpu.api.batching import ExerciseEquityBatch
 
-            tables = ObservableTables(self.model, params, states, self.num_paths_mainsim)
             ctx = self._exposure_ctx()
             need_cfs = self.risk_metrics.requires_discounted_cashflows()
             need_exp = self.risk_metrics.requires_exposure_profiles()
@@ -793,23 +793,48 @@ class SimulationController:
 
     # -- the traced pipeline -------------------------------------------------------------
 
-    def _compute(self, params):
-        plan = self._plan
-        if self.requires_regression and self.num_paths_presim > 0:
-            states_pre = simulate_paths(
-                self.model, params, self.simulation_scheme, self.simulation_timeline,
-                self.num_paths_presim, self.num_steps, rng.PHASE_PRESIM,
-                root_seed=self.root_seed, path_sharding=self.path_sharding,
-                antithetic=self.antithetic, remat=self.remat_paths,
-                transpose_states=True,
-            )
-            resolved_pre = plan.resolve_requests(params, states_pre)
-            if self._batches:
-                from montecarlo_risk_engine_tpu.api.batching import ObservableTables
+    def _simulate_and_resolve(self, params, num_paths: int, phase: int):
+        """One simulation pass -> (resolved handle lists, observable tables).
 
-                tables_pre = ObservableTables(
-                    self.model, params, states_pre, self.num_paths_presim
-                )
+        Streaming mode: requests resolve inside the scan; only [rows, N]
+        emissions exist (SURVEY.md §5.7).  Plane mode: the [T, D, N] state
+        plane is materialised and resolved afterwards (reference
+        engine.py:63 semantics).
+        """
+        plan = self._plan
+        schedule = self._emission_schedule
+        common = dict(
+            root_seed=self.root_seed, path_sharding=self.path_sharding,
+            antithetic=self.antithetic, remat=self.remat_paths,
+        )
+        if schedule is not None:
+            _, emissions = simulate_paths(
+                self.model, params, self.simulation_scheme, self.simulation_timeline,
+                num_paths, self.num_steps, phase,
+                emit_schedule=schedule, collect_states=False, **common,
+            )
+            resolved = plan.resolve_from_emissions(schedule, emissions)
+            from montecarlo_risk_engine_tpu.api.batching import EmittedTables
+
+            tables = EmittedTables(plan, schedule, emissions, params, num_paths)
+        else:
+            states = simulate_paths(
+                self.model, params, self.simulation_scheme, self.simulation_timeline,
+                num_paths, self.num_steps, phase,
+                transpose_states=True, **common,
+            )
+            resolved = plan.resolve_requests(params, states)
+            from montecarlo_risk_engine_tpu.api.batching import ObservableTables
+
+            tables = ObservableTables(self.model, params, states, num_paths)
+        return resolved, tables
+
+    def _compute(self, params):
+        if self.requires_regression and self.num_paths_presim > 0:
+            resolved_pre, tables_pre = self._simulate_and_resolve(
+                params, self.num_paths_presim, rng.PHASE_PRESIM
+            )
+            if self._batches:
                 ctx = self._exposure_ctx()
                 for batch in self._batches:
                     if hasattr(batch, "fit"):
@@ -825,15 +850,10 @@ class SimulationController:
                     else:
                         self._perform_regression_for_product(product, params, resolved_pre)
 
-        states = simulate_paths(
-            self.model, params, self.simulation_scheme, self.simulation_timeline,
-            self.num_paths_mainsim, self.num_steps, rng.PHASE_MAINSIM,
-            root_seed=self.root_seed, path_sharding=self.path_sharding,
-            antithetic=self.antithetic, remat=self.remat_paths,
-            transpose_states=True,
+        resolved, tables = self._simulate_and_resolve(
+            params, self.num_paths_mainsim, rng.PHASE_MAINSIM
         )
-        resolved = plan.resolve_requests(params, states)
-        return self._evaluate_products(params, resolved, states)
+        return self._evaluate_products(params, resolved, tables)
 
     def _flatten(self, nested):
         values, errors = [], []
@@ -936,6 +956,30 @@ class SimulationController:
             self._jitted_grads = jax.jit(grads_fn)
             self._jitted_hessians = jax.jit(jax.jacfwd(grads_fn))
 
+    def _decide_streaming(self) -> None:
+        """Pick streaming vs plane mode once the request plan exists.
+
+        auto: stream unless the dense emission tables would dwarf the state
+        plane (a sparse-request pathology — e.g. one group with many distinct
+        (t1, t2) rows concentrated on a single date inflates K across every
+        step).  The state-layout flag follows the mode: the plane path reads
+        path-minor [T, D, N] states, the streaming path resolves [N, D]
+        states inside the scan (see Model.set_state_layout).
+        """
+        mode = self.streaming
+        if mode == "auto":
+            schedule = self._plan.build_emission_schedule(len(self.simulation_timeline))
+            plane_rows = max(len(self.simulation_timeline) * self.model.state_dim, 1)
+            mode = schedule.num_emitted_rows() <= 2 * plane_rows
+            self._emission_schedule = schedule if mode else None
+        elif mode:
+            self._emission_schedule = self._plan.build_emission_schedule(
+                len(self.simulation_timeline)
+            )
+        else:
+            self._emission_schedule = None
+        self.model.set_state_layout(self._emission_schedule is None)
+
     def run_simulation(self, profile_dir: Optional[str] = None) -> SimulationResults:
         """Run the pipeline; optionally capture a device profile.
 
@@ -959,6 +1003,7 @@ class SimulationController:
                 self._get_requests(),
                 self.metric_exposure_timeline,
             )
+            self._decide_streaming()
         params = tuple(self.model.initial_params())
         self._build_jitted(params)
 

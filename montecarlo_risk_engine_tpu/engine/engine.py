@@ -63,6 +63,8 @@ def simulate_paths(
     antithetic: bool = False,
     remat: bool = False,
     transpose_states: bool = False,
+    emit_schedule=None,
+    collect_states: bool = True,
 ):
     """Simulate states at each timeline point.
 
@@ -78,7 +80,18 @@ def simulate_paths(
     every resident array on the resolution plane keeps the path axis minor —
     the TPU AOT layout assigner pads small minor axes onto the 128-lane tile
     (a [.., N, 5] copy cost 25.6x HBM at 1M paths; see docs/TUNING.md).
-    Returns [T, num_paths, state_dim] (or transposed).
+
+    Streaming mode (emit_schedule given): observable requests are resolved
+    INSIDE the scan against the live [N, state_dim] state from the schedule's
+    static per-step (t1, t2) tables, and only those rows are emitted — the
+    O(paths × request-rows) memory contract of SURVEY.md §5.7, replacing the
+    reference's materialise-then-slice plane (reference engine.py:63,
+    request_interface.py:122).  With collect_states=False the full state
+    plane is never built at all.
+
+    Returns states [T, num_paths, state_dim] (or transposed), or
+    (states_or_None, emissions) when emit_schedule is given; emissions is a
+    list (one entry per schedule group) of [T*K, N] / [T*K] arrays.
     """
     if antithetic and num_paths % 2:
         raise ValueError("antithetic sampling requires an even num_paths")
@@ -86,8 +99,12 @@ def simulate_paths(
     num_points = len(timeline)
     if num_points == 0:
         if transpose_states:
-            return jnp.zeros((0, model.state_dim, num_paths), dtype=dtype)
-        return jnp.zeros((0, num_paths, model.state_dim), dtype=dtype)
+            empty = jnp.zeros((0, model.state_dim, num_paths), dtype=dtype)
+        else:
+            empty = jnp.zeros((0, num_paths, model.state_dim), dtype=dtype)
+        if emit_schedule is not None:
+            return (empty if collect_states else None), []
+        return empty
 
     t_prev_arr, dt_arr = build_step_schedule(model.calibration_date, timeline)
     phase_k = rng.phase_key(rng.root_key(root_seed), phase)
@@ -163,10 +180,50 @@ def simulate_paths(
     if remat:
         point_step = jax.checkpoint(point_step)
 
-    def point_body(state, xs):
-        state = point_step(state, *xs)
-        return state, (state.T if transpose_states else state)
+    if emit_schedule is None:
 
-    xs = (jnp.arange(num_points), t_prev_arr, dt_arr)
-    _, states = jax.lax.scan(point_body, state0, xs)
-    return states
+        def point_body(state, xs):
+            state = point_step(state, *xs)
+            return state, (state.T if transpose_states else state)
+
+        xs = (jnp.arange(num_points), t_prev_arr, dt_arr)
+        _, states = jax.lax.scan(point_body, state0, xs)
+        return states
+
+    # -- streaming emission (SURVEY.md §5.7) --------------------------------
+    groups = emit_schedule.groups
+    emit_tabs = tuple(
+        (asarray(g.t1_tab), asarray(g.t2_tab)) for g in groups
+    )
+
+    def emit(state):
+        """Resolve this point's request rows against the live state."""
+
+        def rows(t1_row, t2_row, g):
+            state_b = jnp.broadcast_to(state, (g.K,) + state.shape)
+            return model.resolve_request_rows(
+                params, g.kind, g.asset_id, t1_row, t2_row, state_b
+            )
+
+        return rows
+
+    def point_body(state, xs):
+        point_idx, t_prev, dt_interval, emit_rows = xs
+        state = point_step(state, point_idx, t_prev, dt_interval)
+        resolver = emit(state)
+        ys = tuple(
+            resolver(t1_row, t2_row, g)
+            for (t1_row, t2_row), g in zip(emit_rows, groups)
+        )
+        out_state = None
+        if collect_states:
+            out_state = state.T if transpose_states else state
+        return state, (out_state, ys)
+
+    xs = (jnp.arange(num_points), t_prev_arr, dt_arr, emit_tabs)
+    _, (states, emitted) = jax.lax.scan(point_body, state0, xs)
+    # [T, K, ...] -> [T*K, ...] flat row arrays, path axis minor.
+    emissions = [
+        e.reshape((e.shape[0] * e.shape[1],) + e.shape[2:]) for e in emitted
+    ]
+    return states, emissions

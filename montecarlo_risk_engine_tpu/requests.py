@@ -119,6 +119,47 @@ def _req_order(req: "AtomicRequest"):
         -1.0 if req.time2 is None else float(req.time2),
     )
 
+class EmissionGroup:
+    """Static per-(asset, kind) emission table for the streaming engine.
+
+    ``K`` is the max number of same-kind requests at any single time point;
+    ``t1_tab``/``t2_tab`` are dense [num_points, K] host arrays scanned as
+    per-step inputs.  Padding rows repeat the group's first request times
+    (benign arguments — their outputs are never gathered).
+    """
+
+    __slots__ = ("asset_id", "kind", "K", "t1_tab", "t2_tab")
+
+    def __init__(self, asset_id, kind, K, t1_tab, t2_tab):
+        self.asset_id = asset_id
+        self.kind = kind
+        self.K = K
+        self.t1_tab = t1_tab
+        self.t2_tab = t2_tab
+
+
+class EmissionSchedule:
+    """Observable schedule for in-scan request resolution (SURVEY.md §5.7).
+
+    The reference materialises every path state and slices per time index
+    afterwards (engine.py:63, request_interface.py:122) — its memory
+    bottleneck at scale.  Here resolution happens INSIDE the path scan from
+    these static tables, so the engine emits only O(request rows × paths)
+    instead of O(T × state_dim × paths).
+    """
+
+    def __init__(self, groups, handle_loc, kind_lookup, num_points):
+        self.groups: List[EmissionGroup] = groups
+        # handle -> (group_idx, flat_row) with flat_row = time_idx * K + k
+        self.handle_loc: Dict[int, Tuple[int, int]] = handle_loc
+        # (time_idx, asset_id, kind) -> handle (absent when ambiguous)
+        self.kind_lookup: Dict[Tuple[int, str, AtomicRequestType], int] = kind_lookup
+        self.num_points = num_points
+
+    def num_emitted_rows(self) -> int:
+        return sum(self.num_points * g.K for g in self.groups)
+
+
 class RequestPlan:
     """Collects, deduplicates and indexes all requests; resolves them under jit.
 
@@ -196,6 +237,68 @@ class RequestPlan:
 
         self.num_atomic_requests = len(atomic_handles)
         self.num_composite_requests = len(composite_handles)
+
+    # -- streaming emission schedule --------------------------------------
+
+    def build_emission_schedule(self, num_points: int) -> EmissionSchedule:
+        """Static per-step resolution tables for the streaming engine."""
+        import numpy as np
+
+        groups: Dict[Tuple[str, AtomicRequestType], list] = defaultdict(list)
+        for (time_idx, asset_id), reqs in self.atomic_by_label.items():
+            for req in sorted(reqs, key=_req_order):
+                groups[(asset_id, req.request_type)].append((time_idx, req))
+
+        out_groups: List[EmissionGroup] = []
+        handle_loc: Dict[int, Tuple[int, int]] = {}
+        kind_lookup: Dict[Tuple[int, str, AtomicRequestType], int] = {}
+        ambiguous = set()
+        # deterministic group order (PYTHONHASHSEED-independent — see _req_order)
+        for (asset_id, kind), rows in sorted(
+            groups.items(), key=lambda kv: (kv[0][0] or "", kv[0][1].value)
+        ):
+            per_time: Dict[int, list] = defaultdict(list)
+            for time_idx, req in rows:
+                per_time[time_idx].append(req)
+            K = max(len(v) for v in per_time.values())
+            first = rows[0][1]
+            f1 = 0.0 if first.time1 is None else first.time1
+            f2 = 0.0 if first.time2 is None else first.time2
+            t1_tab = np.full((num_points, K), f1)
+            t2_tab = np.full((num_points, K), f2)
+            g_idx = len(out_groups)
+            for time_idx, reqs_t in per_time.items():
+                for k, req in enumerate(reqs_t):
+                    t1_tab[time_idx, k] = 0.0 if req.time1 is None else req.time1
+                    t2_tab[time_idx, k] = 0.0 if req.time2 is None else req.time2
+                    handle_loc[req.handle] = (g_idx, time_idx * K + k)
+                    key = (time_idx, asset_id, kind)
+                    if key in kind_lookup:
+                        ambiguous.add(key)
+                    else:
+                        kind_lookup[key] = req.handle
+            out_groups.append(EmissionGroup(asset_id, kind, K, t1_tab, t2_tab))
+        for key in ambiguous:
+            kind_lookup.pop(key, None)
+        return EmissionSchedule(out_groups, handle_loc, kind_lookup, num_points)
+
+    def resolve_from_emissions(self, schedule: EmissionSchedule, emissions) -> list:
+        """Handle-indexed resolved lists from the engine's streamed emissions.
+
+        ``emissions``: list (one per schedule group) of [T*K, N] (or [T*K])
+        arrays as returned by the streaming engine.  Output structure is
+        identical to :meth:`resolve_requests`.
+        """
+        resolved = [None] * self.num_atomic_requests
+        for handle, (g_idx, flat_row) in schedule.handle_loc.items():
+            resolved[handle] = emissions[g_idx][flat_row]
+
+        resolved_composite = [None] * self.num_composite_requests
+        for _, comp_reqs in self.composite_by_time.items():
+            for req in sorted(comp_reqs, key=lambda r: r.get_handle()):
+                resolved_composite[req.get_handle()] = req.get_value(resolved)
+
+        return [resolved, resolved_composite]
 
     # -- resolution (traced) ----------------------------------------------
 

@@ -1,0 +1,219 @@
+"""Streaming observable engine vs the materialised state plane.
+
+The streaming engine resolves requests INSIDE the path scan from the static
+emission schedule and emits only [rows, N] observables — the O(paths x
+observable-slots) memory contract of SURVEY.md §5.7, replacing the
+reference's materialise-then-slice plane (reference src/engine/engine.py:63,
+src/request_interface/request_interface.py:115-130).  These tests pin the
+two modes to float-level agreement through every pipeline layer: batched
+terminal families, batched exercise LSM, the per-product executors, netting
+with MPoR collateral, CVA with hybrid credit, AAD, and the sharded mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_risk_engine_tpu import (
+    AsianOption,
+    BarrierOption,
+    BarrierOptionType,
+    BermudanOption,
+    BinaryOption,
+    BlackScholesModel,
+    BlackScholesMulti,
+    CIRPPModel,
+    CVAMetric,
+    EPEMetric,
+    Equity,
+    EuropeanOption,
+    InterestRateSwap,
+    IRSType,
+    ModelConfig,
+    NettingSet,
+    OptionType,
+    PFEMetric,
+    PVMetric,
+    RiskMetrics,
+    SimulationController,
+    SimulationScheme,
+    VasicekModel,
+)
+from montecarlo_risk_engine_tpu import rng
+from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+from montecarlo_risk_engine_tpu.requests import RequestPlan
+
+
+def _controller(streaming, products, model, metrics, exposure_timeline=None,
+                counterparty=None, mpor=0.0, **kw):
+    ns = NettingSet(
+        name="book", products=products, counterparty_id=counterparty,
+        margin_period_of_risk=mpor,
+    )
+    return SimulationController(
+        netting_sets=[ns], model=model,
+        risk_metrics=RiskMetrics(metrics=metrics, exposure_timeline=exposure_timeline),
+        num_paths_mainsim=kw.pop("num_paths", 512),
+        num_paths_presim=kw.pop("num_paths_presim", 512),
+        num_steps=kw.pop("num_steps", 1),
+        simulation_scheme=kw.pop("scheme", SimulationScheme.ANALYTICAL),
+        streaming=streaming, **kw,
+    )
+
+
+def _compare(make, metrics_and_counts, grads=False, tol=1e-11):
+    r_plane = make(False).run_simulation()
+    r_stream = make(True).run_simulation()
+    for metric, n in metrics_and_counts:
+        for i in range(n):
+            a = float(r_plane.get_results("book", metric, evaluation_idx=i))
+            b = float(r_stream.get_results("book", metric, evaluation_idx=i))
+            assert abs(a - b) <= tol * max(1.0, abs(a)), (metric, i, a, b)
+            ea = float(r_plane.get_mc_error("book", metric, evaluation_idx=i))
+            eb = float(r_stream.get_mc_error("book", metric, evaluation_idx=i))
+            assert abs(ea - eb) <= tol * max(1.0, abs(ea))
+            if grads:
+                ga = r_plane.get_derivatives("book", metric, evaluation_idx=i)
+                gb = r_stream.get_derivatives("book", metric, evaluation_idx=i)
+                for k in ga:
+                    assert abs(ga[k] - gb[k]) <= 1e-8 * max(1.0, abs(ga[k])), (
+                        metric, i, k, ga[k], gb[k],
+                    )
+
+
+def test_engine_emissions_match_plane_resolution():
+    """Engine-level oracle: streamed emissions == resolve on the plane."""
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+    params = model.initial_params()
+    option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL, asset_id="eq")
+    timeline = (0.5, 1.0, 2.0)
+
+    plan = RequestPlan(model)
+    plan.collect_and_index_requests([option], timeline, {}, ())
+    schedule = plan.build_emission_schedule(len(timeline))
+
+    model.set_state_layout(False)
+    _, emissions = simulate_paths(
+        model, params, SimulationScheme.ANALYTICAL, timeline, 256, 1,
+        rng.PHASE_MAINSIM, emit_schedule=schedule, collect_states=False,
+    )
+    resolved_stream = plan.resolve_from_emissions(schedule, emissions)
+
+    model.set_state_layout(True)
+    states = simulate_paths(
+        model, params, SimulationScheme.ANALYTICAL, timeline, 256, 1,
+        rng.PHASE_MAINSIM, transpose_states=True,
+    )
+    resolved_plane = plan.resolve_requests(params, states)
+
+    assert len(resolved_stream[0]) == len(resolved_plane[0])
+    for h, (a, b) in enumerate(zip(resolved_plane[0], resolved_stream[0])):
+        np.testing.assert_allclose(
+            np.broadcast_to(np.asarray(a), (256,)),
+            np.broadcast_to(np.asarray(b), (256,)),
+            rtol=1e-13, err_msg=f"handle {h}",
+        )
+    for a, b in zip(resolved_plane[1], resolved_stream[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-13)
+
+
+def test_streaming_mixed_terminal_book_pv():
+    """Batched European/Binary/Asian/Barrier/Basket families, PV + AAD."""
+    from montecarlo_risk_engine_tpu import BasketOption
+
+    model = BlackScholesMulti(
+        0.0, rate=0.03, asset_ids=["a1", "a2"], spots=[100.0, 90.0],
+        volatilities=[0.2, 0.3],
+        correlation_matrix=np.array([[1.0, 0.4], [0.4, 1.0]]),
+    )
+    products = [
+        EuropeanOption(Equity("a1"), 1.0, 100.0, OptionType.CALL, asset_id="a1"),
+        EuropeanOption(Equity("a2"), 1.0, 85.0, OptionType.PUT, asset_id="a2"),
+        BinaryOption(1.0, 100.0, 10.0, OptionType.CALL, asset_id="a1"),
+        AsianOption(0.25, 1.0, 95.0, 4, OptionType.CALL, asset_id="a1"),
+        BarrierOption(
+            0.0, 1.0, 100.0, 4, OptionType.CALL, 130.0,
+            BarrierOptionType.UPANDOUT, asset_id="a1",
+        ),
+        BasketOption(1.0, ["a1", "a2"], [0.5, 0.5], 95.0, OptionType.CALL),
+    ]
+
+    def make(streaming):
+        return _controller(
+            streaming, products, model, [PVMetric()], differentiate=True,
+        )
+
+    _compare(make, [("pv", 1)], grads=True)
+
+
+def test_streaming_exercise_and_exposure_book():
+    """Bermudan LSM + swap exposure profiles + MPoR collateral + CVA."""
+    hazards = {1.0: 0.02, 3.0: 0.025, 5.0: 0.03}
+
+    def make(streaming):
+        rates = VasicekModel(0.0, rate=0.03, mean=0.04, mean_reversion_speed=0.5,
+                             volatility=0.01, asset_id="irs")
+        equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+        credit = CIRPPModel(0.0, asset_id="cp", hazard_rates=hazards, kappa=0.1,
+                            theta=0.01, volatility=0.02, y0=0.0001)
+        model = ModelConfig(
+            [rates, equity, credit],
+            inter_asset_correlation_matrix=[
+                np.array([[0.3]]), np.array([[0.5]]), np.array([[0.2]]),
+            ],
+        )
+        swap = InterestRateSwap(0.0, 2.0, notional=1.0, fixed_rate=0.03,
+                                tenor_fixed=0.5, tenor_float=0.5,
+                                irs_type=IRSType.PAYER, asset_id="irs")
+        bermudan = BermudanOption(Equity("eq"), [0.5, 1.0, 1.5], 100.0,
+                                  OptionType.PUT, asset_id="eq")
+        return _controller(
+            streaming, [swap, bermudan], model,
+            [CVAMetric(counterparty_id="cp", recovery_rate=0.4), EPEMetric(),
+             PFEMetric(0.95)],
+            exposure_timeline=np.linspace(0.0, 2.0, 5),
+            counterparty="cp", mpor=0.25, scheme=SimulationScheme.EULER,
+            num_steps=2, differentiate=True,
+        )
+
+    _compare(make, [("cva[cp]", 1), ("epe", 5), ("pfe[0.95]", 5)], grads=True)
+
+
+def test_streaming_sharded_equals_unsharded_plane():
+    """Streaming on the 8-device mesh == plane mode unsharded, bit-for-bit
+    RNG (device-count-independent draws)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    model_args = dict(spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+
+    def make(streaming, sharded=False):
+        model = BlackScholesModel(0.0, **model_args)
+        option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        kw = {}
+        if sharded:
+            mesh = Mesh(np.array(jax.devices()), ("paths",))
+            kw["path_sharding"] = NamedSharding(mesh, PartitionSpec("paths"))
+        return _controller(
+            streaming, [option], model, [PVMetric(), EPEMetric()],
+            exposure_timeline=[0.5, 1.0, 1.5], num_paths=1024,
+            num_paths_presim=1024, **kw,
+        )
+
+    r_plane = make(False).run_simulation()
+    r_sharded = make(True, sharded=True).run_simulation()
+    for metric, n in (("pv", 1), ("epe", 3)):
+        for i in range(n):
+            a = float(r_plane.get_results("book", metric, evaluation_idx=i))
+            b = float(r_sharded.get_results("book", metric, evaluation_idx=i))
+            assert abs(a - b) <= 1e-11 * max(1.0, abs(a)), (metric, i, a, b)
+
+
+def test_streaming_auto_enabled_for_typical_books():
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+    option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL, asset_id="eq")
+    c = _controller("auto", [option], model, [PVMetric()], num_paths=64,
+                    num_paths_presim=64)
+    c.run_simulation()
+    assert c._emission_schedule is not None
