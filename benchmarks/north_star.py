@@ -45,7 +45,7 @@ CP = "counterparty"
 
 
 def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: int = 8,
-          remat_paths: bool = False):
+          remat_paths: bool = False, streaming="auto"):
     rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
                          volatility=0.012, asset_id="irs")
     equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22, asset_id="eq")
@@ -87,6 +87,7 @@ def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: in
         path_sharding=path_sharding,
         grad_chunk_size=grad_chunk_size,
         remat_paths=remat_paths,
+        streaming=streaming,
     )
     if hessian:
         controller.compute_higher_derivatives()
@@ -103,7 +104,8 @@ def main():
             chunk = int(a.split("=")[1])
 
     controller = build(num_paths, hessian, grad_chunk_size=chunk,
-                       remat_paths="--remat" in sys.argv)
+                       remat_paths="--remat" in sys.argv,
+                       streaming=False if "--plane" in sys.argv else "auto")
     t0 = time.perf_counter()
     results = controller.run_simulation()
     cold = time.perf_counter() - t0

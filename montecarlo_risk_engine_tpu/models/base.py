@@ -113,6 +113,21 @@ class Model:
     def step_qe(self, params, t1, t2, state, corr_noise, uniform):
         raise NotImplementedError(f"{type(self).__name__}: QE step not implemented")
 
+    # -- fused Pallas path generation (TPU fast path) -----------------------
+
+    def supports_pallas_paths(self, scheme: SimulationScheme) -> bool:
+        """Whether a fused hardware-PRNG Pallas kernel exists for this model
+        and scheme (ops/pallas_paths.py).  Forward-only: the controller uses
+        it for non-differentiated runs on TPU; draws are an equally valid but
+        different stream from the threefry engine (statistical — not bitwise —
+        equivalence)."""
+        return False
+
+    def pallas_paths(self, params, scheme, timeline, num_paths: int,
+                     num_steps: int, seed: int):
+        """States at each timeline point, [T, num_paths, state_dim] f32."""
+        raise NotImplementedError
+
     # -- observables --------------------------------------------------------
 
     # Static column offset into a wider joint state: the hybrid ModelConfig

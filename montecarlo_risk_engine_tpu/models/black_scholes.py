@@ -47,6 +47,26 @@ class BlackScholesModel(Model):
         spot, _, _ = self._unpack(params)
         return jnp.broadcast_to(spot, (num_paths, 1)).astype(real_dtype())
 
+    def supports_pallas_paths(self, scheme):
+        return scheme == SimulationScheme.ANALYTICAL
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+        """Single-asset exact GBM = 1-asset case of the multi kernel."""
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            bs_multi_paths,
+            pick_rows_per_block,
+        )
+
+        rows = pick_rows_per_block(num_paths)
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        log_states = bs_multi_paths(
+            [self._spot0], [self._sigma0], self._rate0, [[1.0]],
+            timeline, num_paths, seed=seed,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+        )
+        return jnp.exp(log_states)
+
     def covariance_matrix(self, params, delta_t):
         _, sigma, _ = self._unpack(params)
         return (sigma * sigma * delta_t).reshape(1, 1)

@@ -61,6 +61,29 @@ class BlackScholesMulti(Model):
     def init_state(self, params, num_paths):
         return jnp.broadcast_to(self._spots(params), (num_paths, self.num_assets))
 
+    def supports_pallas_paths(self, scheme):
+        return scheme == SimulationScheme.ANALYTICAL
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+        """Exact correlated-GBM trajectory via the hardware-PRNG kernel
+        (ops/pallas_paths.bs_multi_paths).  The kernel carries log-spots; the
+        model state convention is spot levels, so exponentiate on the way out
+        (one fused elementwise op)."""
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            bs_multi_paths,
+            pick_rows_per_block,
+        )
+
+        rows = pick_rows_per_block(num_paths)
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        log_states = bs_multi_paths(
+            self._spots0, self._vols0, self._rate0, self._corr,
+            timeline, num_paths, seed=seed,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+        )
+        return jnp.exp(log_states)
+
     def correlation_matrix(self, params, scheme):
         return asarray(self._corr)
 

@@ -81,6 +81,27 @@ class HestonModel(Model):
     def uses_uniforms(self, scheme):
         return scheme == SimulationScheme.QE
 
+    def supports_pallas_paths(self, scheme):
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
+
+        return scheme == SimulationScheme.QE and not self.perform_smoothing
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+        """Fused QE trajectory via the hardware-PRNG kernel
+        (ops/pallas_paths.heston_qe_paths); state [T, N, 2] = [logS, v]."""
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            heston_qe_paths,
+            pick_rows_per_block,
+        )
+
+        rows = pick_rows_per_block(num_paths)
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        return heston_qe_paths(
+            params, timeline, num_paths, num_steps, seed=seed,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+        )
+
     def step_euler(self, params, t1, t2, state, corr_noise):
         # Full-truncation Euler (heston.py:99-121).
         _, sigma, rate, _, kappa, theta, _ = self._unpack(params)

@@ -190,10 +190,18 @@ class ModelConfig(Model):
         for i, m in enumerate(self.models):
             s0, s1 = self._state_offsets[i], self._state_offsets[i + 1]
             n0, n1 = self._sim_offsets[i], self._sim_offsets[i + 1]
+            # Mixed-scheme dispatch (beyond parity — the reference's
+            # ModelConfig simply has no QE path, model_config.py:223-276):
+            # QE is defined per-asset (Andersen's scheme for Heston blocks);
+            # sub-models without a QE step integrate their block with Euler
+            # under the same joint driver correlation.
+            sub_scheme = scheme
+            if scheme == SimulationScheme.QE and not m.uses_uniforms(scheme):
+                sub_scheme = SimulationScheme.EULER
             blocks.append(
                 m.step(
                     self._sub_params(params, i),
-                    scheme,
+                    sub_scheme,
                     t1,
                     t2,
                     state[:, s0:s1],

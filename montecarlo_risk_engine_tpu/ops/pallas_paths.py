@@ -167,6 +167,19 @@ def heston_qe_paths(
     return states
 
 
+def pick_rows_per_block(num_paths: int, preferred: int = 256):
+    """Largest rows-per-block <= preferred with num_paths % (rows*128) == 0.
+
+    Returns None when no block size >= 8 divides the path count (the caller
+    should fall back to the XLA scan engine)."""
+    rows = preferred
+    while rows >= 8:
+        if num_paths % (rows * _LANES) == 0:
+            return rows
+        rows //= 2
+    return None
+
+
 def bs_multi_paths(
     spots: Sequence[float],
     vols: Sequence[float],

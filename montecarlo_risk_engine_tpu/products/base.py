@@ -212,6 +212,13 @@ class Product:
         None = unweighted all-path fit (the reference's convention)."""
         return None
 
+    def scan_bucket_statics(self):
+        """Static attributes baked into scan_exercise_step's trace (payoff
+        sign, gating flags, ...).  Products returning a hashable tuple may be
+        vmap-bucketed with signature-identical peers by the controller; None
+        (default) opts out of bucketing."""
+        return None
+
     # -- analytic hooks (product.py:200-217) --------------------------------------
 
     def compute_pv_analytically(self, model, params):

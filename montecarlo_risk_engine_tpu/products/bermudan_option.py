@@ -128,6 +128,9 @@ class BermudanOption(Product):
         sign = 1.0 if self.option_type == OptionType.CALL else -1.0
         return (sign * (underlying_value - strike) > 0.0).astype(real_dtype())
 
+    def scan_bucket_statics(self):
+        return (self.option_type, self.itm_only_regression)
+
     def scan_exercise_step(
         self, regression_function, state_matrix, underlying_value,
         explanatory, numeraire, strike, coeffs,

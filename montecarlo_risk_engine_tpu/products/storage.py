@@ -175,6 +175,11 @@ class Storage(Product):
     def scan_event_strikes(self):
         return [0.0] * len(self.product_timeline)
 
+    def scan_bucket_statics(self):
+        # All per-date configuration rides in scan_event_extras; nothing else
+        # is baked into the traced step.
+        return ()
+
     def _padded_curves(self, slices):
         max_pts = max(len(s) for s in slices)
         pts = np.full((len(slices), max_pts), 0.0)

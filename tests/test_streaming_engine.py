@@ -147,6 +147,7 @@ def test_streaming_mixed_terminal_book_pv():
     _compare(make, [("pv", 1)], grads=True)
 
 
+@pytest.mark.slow
 def test_streaming_exercise_and_exposure_book():
     """Bermudan LSM + swap exposure profiles + MPoR collateral + CVA."""
     hazards = {1.0: 0.02, 3.0: 0.025, 5.0: 0.03}
@@ -210,10 +211,19 @@ def test_streaming_sharded_equals_unsharded_plane():
             assert abs(a - b) <= 1e-11 * max(1.0, abs(a)), (metric, i, a, b)
 
 
-def test_streaming_auto_enabled_for_typical_books():
+def test_streaming_auto_picks_by_memory_estimate(monkeypatch):
     model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
     option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL, asset_id="eq")
+    # small book: plane mode (faster warm — measured on v5e)
     c = _controller("auto", [option], model, [PVMetric()], num_paths=64,
                     num_paths_presim=64)
     c.run_simulation()
-    assert c._emission_schedule is not None
+    assert c._emission_schedule is None
+    # same book over the HBM-scale threshold: streaming
+    model2 = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+    option2 = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL, asset_id="eq")
+    c2 = _controller("auto", [option2], model2, [PVMetric()], num_paths=128,
+                     num_paths_presim=128)
+    monkeypatch.setattr(SimulationController, "STREAMING_AUTO_THRESHOLD_BYTES", 0)
+    c2.run_simulation()
+    assert c2._emission_schedule is not None
