@@ -1,0 +1,44 @@
+"""Saved-plot smoke tests for the example/validation scripts.
+
+Counterpart of the reference's runnable demo scripts (tests/exposure_tests/,
+tests/pv_tests/ — SURVEY.md §4 tier 2): each example runs end-to-end at tiny
+path counts and saves its PNG artifact (VERDICT r1 missing item #7).
+"""
+
+import importlib
+import os
+import sys
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+sys.path.insert(0, EXAMPLES_DIR)
+
+
+def _run_example(module_name, **kwargs):
+    mod = importlib.import_module(module_name)
+    return mod.main(**kwargs)
+
+
+@pytest.mark.parametrize("module_name", [
+    "ee_pfe_bermudan_swaption",
+    "ee_pfe_swap_collateralized",
+    "ee_pfe_storage",
+    "ee_pfe_european_vs_analytic",
+])
+def test_profile_example_saves_plot(module_name):
+    path = _run_example(module_name, num_paths=512, save_plot=True)
+    assert path is not None and os.path.exists(path)
+    assert os.path.getsize(path) > 5_000  # a real rendered PNG
+
+
+def test_second_derivatives_example():
+    gamma, vomma = _run_example("pv_second_derivatives", num_paths=256)
+    assert gamma > 0.0 and vomma > 0.0
+
+
+def test_heston_convergence_example_fast():
+    path = _run_example(
+        "pv_heston_convergence", num_paths=4096, save_plot=True, steps=(1, 4)
+    )
+    assert path is not None and os.path.exists(path)
