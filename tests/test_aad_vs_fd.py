@@ -7,6 +7,7 @@ the FD is exact up to O(h^2)).
 """
 
 import numpy as np
+import pytest
 
 from montecarlo_risk_engine_tpu import (
     CIRPPModel,
@@ -71,6 +72,7 @@ def _cva_value(spot_shift=0.0, rate_shift=0.0):
     return float(results.get_results("book", cva.get_name(), evaluation_idx=0))
 
 
+@pytest.mark.slow
 def test_cva_aad_matches_finite_differences():
     controller, cva = _build_controller(differentiate=True)
     results = controller.run_simulation()

@@ -133,6 +133,7 @@ def _run_exposure(batch_products, metrics_fn):
     return results, controller
 
 
+@pytest.mark.slow
 def test_batched_exposure_regression_matches_per_product():
     from montecarlo_risk_engine_tpu import CEMetric, EPEMetric, PFEMetric
 
@@ -151,6 +152,7 @@ def test_batched_exposure_regression_matches_per_product():
             )
 
 
+@pytest.mark.slow
 def test_batched_exposure_analytic_matches_per_product():
     from montecarlo_risk_engine_tpu import EPEMetric, PFEMetric
 

@@ -66,6 +66,7 @@ def _run_cva_swap(rho, num_paths=50_000, maturity=5.0, n_exposure=50):
     )
 
 
+@pytest.mark.slow
 def test_cva_corporate_bond_matches_expected_loss():
     """Zero-coupon bond, deterministic credit: CVA == (1-R)(1-S)P analytically
     up to MC error of the exposure leg (test_cva.py:35-111)."""
@@ -99,9 +100,15 @@ def test_cva_corporate_bond_matches_expected_loss():
     survival = 1.0 - float(probability_of_default(credit.hazard_rates, credit.tenors, maturity))
     expected_loss = (1.0 - 0.4) * (1.0 - survival) * pv_bond
 
-    assert abs(cva - expected_loss) < max(4.0 * se, 2e-4), (cva, expected_loss, se)
+    # Deterministic credit telescopes the CVA sum to (1-R)(1-S(0,T)) x the
+    # regression-mean exposure, so the dominant residual is the LSM fit /
+    # relu bias (~3e-6 at these settings) plus the CVA estimator's own MC
+    # error (se ~ 5e-6) — matching the reference's 2e-6-scale accuracy
+    # (ref test_cva.py:111) rather than the exposure leg's 5e-4 PV error.
+    assert abs(cva - expected_loss) < max(4.0 * se, 1e-5), (cva, expected_loss, se)
 
 
+@pytest.mark.slow
 def test_cva_wwr_payer_swap_ordering():
     cva_wwr, se_wwr = _run_cva_swap(0.99999)
     cva_uncorr, se_uncorr = _run_cva_swap(0.0)
@@ -110,6 +117,7 @@ def test_cva_wwr_payer_swap_ordering():
     assert diff > 3.0 * se_diff, (cva_wwr, cva_uncorr, se_diff)
 
 
+@pytest.mark.slow
 def test_cva_second_order_derivatives_finite():
     """Full Hessian of CVA through the exposure pipeline (the reference's
     compute_higher_derivatives path, controller.py:631-648)."""

@@ -8,6 +8,7 @@ differentiates per-value reverse-mode only, controller.py:609-627).
 """
 
 import numpy as np
+import pytest
 
 from montecarlo_risk_engine_tpu import (
     BermudanOption,
@@ -56,6 +57,7 @@ def _build(grad_mode):
     )
 
 
+@pytest.mark.slow
 def test_fwd_and_rev_jacobians_match():
     cf, cr = _build("fwd"), _build("rev")
     rf, rr = cf.run_simulation(), cr.run_simulation()
