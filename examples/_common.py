@@ -62,3 +62,29 @@ def profile(results, ns_name, metric_name, n):
         float(results.get_results(ns_name, metric_name, evaluation_idx=i))
         for i in range(n)
     ])
+
+
+def run_exposure_book(model, products, timeline, metrics=None, num_paths=20_000,
+                      num_paths_presim=None, num_steps=1, scheme=None,
+                      ns_name="book", **controller_kwargs):
+    """One-netting-set EE/PFE run — the shape every reference exposure script
+    shares (tests/exposure_tests/ee_pfe_*.py): build controller, simulate,
+    return the SimulationResults."""
+    from montecarlo_risk_engine_tpu import (
+        EPEMetric, NettingSet, PFEMetric, RiskMetrics, SimulationController,
+        SimulationScheme,
+    )
+
+    if metrics is None:
+        metrics = [EPEMetric(), PFEMetric(0.95)]
+    controller = SimulationController(
+        netting_sets=[NettingSet(name=ns_name, products=list(products))],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=metrics, exposure_timeline=timeline),
+        num_paths_mainsim=num_paths,
+        num_paths_presim=num_paths if num_paths_presim is None else num_paths_presim,
+        num_steps=num_steps,
+        simulation_scheme=SimulationScheme.ANALYTICAL if scheme is None else scheme,
+        **controller_kwargs,
+    )
+    return controller.run_simulation()

@@ -39,7 +39,10 @@ from montecarlo_risk_engine_tpu.products.binary_option import BinaryOption
 from montecarlo_risk_engine_tpu.products.bond import Bond
 from montecarlo_risk_engine_tpu.products.equity import Equity
 from montecarlo_risk_engine_tpu.products.european_option import EuropeanOption
+from montecarlo_risk_engine_tpu.products.flexicall import FlexiCall
 from montecarlo_risk_engine_tpu.products.netting_set import NettingSet
+from montecarlo_risk_engine_tpu.products.storage import Storage, StorageAction
+from montecarlo_risk_engine_tpu.products.storage_config import StorageConfig
 from montecarlo_risk_engine_tpu.products.swap import InterestRateSwap, IRSType
 from montecarlo_risk_engine_tpu.utils.regression import PolynomialRegression, PolyomialRegression
 

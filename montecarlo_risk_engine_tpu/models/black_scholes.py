@@ -60,8 +60,9 @@ class BlackScholesModel(Model):
         rows = pick_rows_per_block(num_paths)
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        spot, sigma, rate = self._unpack(params)
         log_states = bs_multi_paths(
-            [self._spot0], [self._sigma0], self._rate0, [[1.0]],
+            [spot], [sigma], rate, [[1.0]],
             timeline, num_paths, seed=seed,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )

@@ -77,8 +77,9 @@ class BlackScholesMulti(Model):
         rows = pick_rows_per_block(num_paths)
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        n = self.num_assets
         log_states = bs_multi_paths(
-            self._spots0, self._vols0, self._rate0, self._corr,
+            params[:n], params[n:2 * n], params[2 * n], self._corr,
             timeline, num_paths, seed=seed,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )

@@ -54,11 +54,13 @@ def _normal_pair(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, spot, sigma, rate, rho, kappa, theta):
+def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho, kappa, theta):
     """One Andersen-QE update — same math as HestonModel.step_qe
-    (models/heston.py), specialised to f32 VPU arrays."""
+    (models/heston.py), specialised to f32 VPU arrays.  Model parameters are
+    f32 scalars read from SMEM (traced — the controller pipeline jits over
+    them), dt is a compile-time constant."""
     eps = 1e-12
-    ekt = math.exp(-kappa * dt) if isinstance(dt, float) else jnp.exp(-kappa * dt)
+    ekt = jnp.exp(-kappa * dt)
 
     m = theta + (v - theta) * ekt
     s2 = (
@@ -103,9 +105,11 @@ def heston_qe_paths(
 ):
     """Generate Heston QE states at timeline points: returns [T, N, 2] f32.
 
-    num_paths must be a multiple of rows_per_block * 128.
+    num_paths must be a multiple of rows_per_block * 128.  ``params`` may be
+    traced (the controller's jitted pipeline is a function of the flat model
+    parameters): the seven scalars ride into the kernel through SMEM.
     """
-    spot, sigma, rate, rho, kappa, theta, v0 = (float(p) for p in params)
+    params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
     block_paths = rows_per_block * _LANES
     if num_paths % block_paths:
         raise ValueError(f"num_paths must be a multiple of {block_paths}")
@@ -120,12 +124,14 @@ def heston_qe_paths(
         t_prev = t
     num_points = len(points)
 
-    def kernel(seed_ref, logs_ref, v_ref):
+    def kernel(seed_ref, p_ref, logs_ref, v_ref):
         block = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + block)
         shape = (rows_per_block, _LANES)
-        log_s = jnp.full(shape, math.log(spot), dtype=jnp.float32)
-        v = jnp.full(shape, v0, dtype=jnp.float32)
+        spot, sigma, rate, rho = p_ref[0], p_ref[1], p_ref[2], p_ref[3]
+        kappa, theta, v0 = p_ref[4], p_ref[5], p_ref[6]
+        log_s = jnp.full(shape, 0.0, dtype=jnp.float32) + jnp.log(spot)
+        v = jnp.full(shape, 0.0, dtype=jnp.float32) + v0
 
         for point in range(num_points):
             dt = intervals[point]
@@ -135,7 +141,7 @@ def heston_qe_paths(
                     u = _uniforms(shape)
                     log_s, v = _heston_qe_substep(
                         log_s, v, z_s, z_v, u, dt,
-                        spot, sigma, rate, rho, kappa, theta,
+                        sigma, rate, rho, kappa, theta,
                     )
             logs_ref[point] = log_s
             v_ref[point] = v
@@ -144,7 +150,10 @@ def heston_qe_paths(
     logs, vs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_specs=(
             pl.BlockSpec(
                 (num_points, rows_per_block, _LANES),
@@ -158,7 +167,7 @@ def heston_qe_paths(
             ),
         ),
         out_shape=(out_shape, out_shape),
-    )(jnp.asarray([seed], dtype=jnp.int32))
+    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
 
     states = jnp.stack(
         [logs.reshape(num_points, num_paths), vs.reshape(num_points, num_paths)],
@@ -200,14 +209,18 @@ def bs_multi_paths(
     is small, so the D x D triangular combine stays in registers; state lives
     in VMEM for the whole trajectory).
 
-    num_paths must be a multiple of rows_per_block * 128.
+    num_paths must be a multiple of rows_per_block * 128.  ``spots``, ``vols``
+    and ``rate`` may be traced (the controller pipeline is a function of the
+    flat model parameters) — they enter the kernel through SMEM; the
+    correlation matrix is static model structure, so its Cholesky factor is
+    baked in as compile-time constants.
     """
     import numpy as _np
 
-    spots = [float(s) for s in spots]
-    vols = [float(s) for s in vols]
-    rate = float(rate)
     num_assets = len(spots)
+    params_vec = jnp.stack(
+        [jnp.asarray(p, dtype=jnp.float32) for p in (*spots, *vols, rate)]
+    )
     chol = _np.linalg.cholesky(_np.asarray(correlation, dtype=_np.float64))
 
     block_paths = rows_per_block * _LANES
@@ -224,12 +237,13 @@ def bs_multi_paths(
         t_prev = t
     num_points = len(points)
 
-    def kernel(seed_ref, out_ref):
+    def kernel(seed_ref, p_ref, out_ref):
         block = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + block)
         shape = (rows_per_block, _LANES)
+        rate_v = p_ref[2 * num_assets]
         log_s = [
-            jnp.full(shape, math.log(spots[d]), dtype=jnp.float32)
+            jnp.full(shape, 0.0, dtype=jnp.float32) + jnp.log(p_ref[d])
             for d in range(num_assets)
         ]
         for point in range(num_points):
@@ -245,8 +259,9 @@ def bs_multi_paths(
                     w = sum(
                         float(chol[d, e]) * zs[e] for e in range(d + 1)
                     )
-                    drift = (rate - 0.5 * vols[d] * vols[d]) * dt
-                    log_s[d] = log_s[d] + drift + vols[d] * sqrt_dt * w
+                    vol_d = p_ref[num_assets + d]
+                    drift = (rate_v - 0.5 * vol_d * vol_d) * dt
+                    log_s[d] = log_s[d] + drift + vol_d * sqrt_dt * w
             for d in range(num_assets):
                 out_ref[point, d] = log_s[d]
 
@@ -256,14 +271,17 @@ def bs_multi_paths(
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_specs=pl.BlockSpec(
             (num_points, num_assets, rows_per_block, _LANES),
             lambda i: (0, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
-    )(jnp.asarray([seed], dtype=jnp.int32))
+    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]
     return jnp.moveaxis(out.reshape(num_points, num_assets, num_paths), 1, -1)

@@ -25,11 +25,52 @@ def _run_example(module_name, **kwargs):
     "ee_pfe_swap_collateralized",
     "ee_pfe_storage",
     "ee_pfe_european_vs_analytic",
+    "ee_pfe_american_equity_option",
+    "ee_pfe_bermudan_equity_option",
+    "ee_pfe_bermudan_bond_option",
+    "ee_pfe_barrier_option",
+    "ee_pfe_binary_option",
+    "ee_pfe_bond",
+    "ee_pfe_flexicall",
+    "ee_pfe_swaption",
+    "eepe_simulation",
+    "storage_volume_constraints",
 ])
 def test_profile_example_saves_plot(module_name):
     path = _run_example(module_name, num_paths=512, save_plot=True)
     assert path is not None and os.path.exists(path)
     assert os.path.getsize(path) > 5_000  # a real rendered PNG
+
+
+@pytest.mark.parametrize("module_name", [
+    "pv_european_option",
+    "pv_binary_option",
+    "pv_barrier_option",
+    "pv_bermudan_option",
+    "pv_european_bond_option",
+    "cirpp_scenarios_vs_deterministic_hazard",
+])
+def test_pv_example_saves_plot(module_name):
+    path = _run_example(module_name, num_paths=2048, save_plot=True)
+    assert path is not None and os.path.exists(path)
+    assert os.path.getsize(path) > 5_000
+
+
+def test_basket_control_variate_example():
+    out = _run_example("pv_basket_option", num_paths=4096)
+    assert out["se_cv"] < out["se_plain"]
+
+
+@pytest.mark.slow
+def test_storage_pv_example():
+    path = _run_example("pv_storage", num_paths=2048, save_plot=True)
+    assert path is not None and os.path.exists(path)
+
+
+@pytest.mark.slow
+def test_cva_corporate_bond_example():
+    path = _run_example("cva_corporate_bond", num_paths=4096, save_plot=True)
+    assert path is not None and os.path.exists(path)
 
 
 def test_second_derivatives_example():

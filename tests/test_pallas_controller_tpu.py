@@ -49,6 +49,8 @@ def _bs_controller(num_paths, use_pallas, differentiate=False):
 
 
 def test_pallas_auto_off_on_cpu():
+    if jax.default_backend() == "tpu":
+        pytest.skip("auto turns the kernel ON under a TPU backend")
     c = _bs_controller(4096, "auto")
     c.run_simulation()
     assert not c._pallas_active
