@@ -45,7 +45,8 @@ CP = "counterparty"
 
 
 def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: int = 8,
-          remat_paths: bool = False, streaming="auto"):
+          remat_paths: bool = False, streaming="auto", differentiate: bool = True,
+          num_paths_presim=None):
     rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
                          volatility=0.012, asset_id="irs")
     equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22, asset_id="eq")
@@ -80,10 +81,10 @@ def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: in
             exposure_timeline=np.linspace(0.0, 7.0, 29),
         ),
         num_paths_mainsim=num_paths,
-        num_paths_presim=num_paths,
+        num_paths_presim=num_paths if num_paths_presim is None else num_paths_presim,
         num_steps=1,
         simulation_scheme=SimulationScheme.EULER,
-        differentiate=True,
+        differentiate=differentiate,
         path_sharding=path_sharding,
         grad_chunk_size=grad_chunk_size,
         remat_paths=remat_paths,
