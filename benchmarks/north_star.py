@@ -104,9 +104,14 @@ def main():
         if a.startswith("--chunk="):
             chunk = int(a.split("=")[1])
 
+    streaming = "auto"
+    if "--plane" in sys.argv:
+        streaming = False
+    elif "--streaming" in sys.argv:
+        streaming = True
     controller = build(num_paths, hessian, grad_chunk_size=chunk,
                        remat_paths="--remat" in sys.argv,
-                       streaming=False if "--plane" in sys.argv else "auto")
+                       streaming=streaming)
     t0 = time.perf_counter()
     results = controller.run_simulation()
     cold = time.perf_counter() - t0
