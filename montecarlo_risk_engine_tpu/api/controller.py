@@ -1085,6 +1085,30 @@ class SimulationController:
 
         return jac
 
+    def _chunked_outer_jacfwd(self, grads_fn):
+        """Hessian = forward-over-forward with the OUTER tangent basis also
+        lax.map'd.  ``jax.jacfwd(grads_fn)`` vmaps all P outer tangents
+        through every inner sweep at once — P x the first-order memory (the
+        1M-path north-star Hessian wanted 95.9GB; per-sweep it is ~8GB).
+        Returns H[i][j] = d grads[i] / d p[j], identical to jax.jacfwd's
+        layout."""
+        chunk = max(1, int(self.grad_chunk_size))
+
+        def hess(p):
+            n = len(p)
+            basis = tuple(
+                jnp.asarray(np.eye(n)[:, j], dtype=jnp.result_type(p[j]))
+                for j in range(n)
+            )
+            rows = jax.lax.map(
+                lambda tb: jax.jvp(grads_fn, (p,), (tb,))[1],
+                basis,
+                batch_size=chunk if chunk > 1 else None,
+            )  # tuple over output-grad index i of [P, V]
+            return tuple(tuple(rows[i][j] for j in range(n)) for i in range(n))
+
+        return hess
+
     def _build_jitted(self, params):
         """Build (once) and cache the jitted value/gradient/Hessian pipelines
         so repeated run_simulation() calls reuse the compiled executables.
@@ -1116,7 +1140,7 @@ class SimulationController:
             self._flat_fn = flat_fn
             self._jitted_values = jax.jit(flat_fn)
             self._jitted_grads = jax.jit(grads_fn)
-            self._jitted_hessians = jax.jit(jax.jacfwd(grads_fn))
+            self._jitted_hessians = jax.jit(self._chunked_outer_jacfwd(grads_fn))
 
     def _decide_streaming(self) -> None:
         """Pick streaming vs plane mode once the request plan exists.
@@ -1146,11 +1170,22 @@ class SimulationController:
             emitted_rows = schedule.num_emitted_rows()
             num_paths = max(self.num_paths_mainsim, self.num_paths_presim)
             plane_bytes = plane_rows * num_paths * jnp.dtype(real_dtype()).itemsize
+            # Differentiated runs amplify the resident plane: jacfwd tangent
+            # sweeps hold ~13x the plane in fused temps (AOT dumps: 1M-path
+            # first-order used 15.6GB on plane at plane_bytes=1.2GB), and the
+            # Hessian's outer jacfwd vmaps that over every parameter (100k
+            # Hessian: 17.2GB at plane_bytes=0.12GB ~= 13 x 12 params).
+            amp = 1.0
+            if self.differentiate:
+                amp = 13.0
+                if self.requires_higher_order_derivatives:
+                    amp *= max(1, len(self.model.initial_params()))
             if emitted_rows > 2 * plane_rows:
                 mode = False
             else:
                 mode = (
                     plane_bytes > self.STREAMING_AUTO_THRESHOLD_BYTES
+                    or amp * plane_bytes > self.STREAMING_AUTO_AD_BUDGET_BYTES
                     or emitted_rows * 4 <= plane_rows
                 )
             self._emission_schedule = schedule if mode else None
@@ -1165,6 +1200,9 @@ class SimulationController:
     # auto mode switches to the streaming engine once the materialised state
     # plane would exceed this many bytes (see _decide_streaming).
     STREAMING_AUTO_THRESHOLD_BYTES = 2 << 30
+    # ... or once the AD-amplified plane estimate would exceed this budget
+    # (v5e HBM is 16GB; 14GB leaves room for the non-plane residents).
+    STREAMING_AUTO_AD_BUDGET_BYTES = 14 << 30
 
     def _decide_pallas(self) -> bool:
         """Fused-kernel path generation is the forward-only TPU speed path:

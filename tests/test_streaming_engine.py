@@ -227,3 +227,34 @@ def test_streaming_auto_picks_by_memory_estimate(monkeypatch):
     monkeypatch.setattr(SimulationController, "STREAMING_AUTO_THRESHOLD_BYTES", 0)
     c2.run_simulation()
     assert c2._emission_schedule is not None
+
+
+def test_streaming_auto_amplifies_for_hessian(monkeypatch):
+    """Differentiated/Hessian runs multiply the plane estimate (jacfwd
+    tangent temps, Hessian outer vmap over params) — the same book that
+    stays on the plane forward-only must stream once the AD-amplified
+    estimate crosses the budget (the 100k-path Hessian OOM, BENCH_NOTES
+    round 2)."""
+    def build(differentiate, hessian):
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        c = _controller("auto", [option], model, [PVMetric()], num_paths=64,
+                        num_paths_presim=64, differentiate=differentiate)
+        if hessian:
+            c.compute_higher_derivatives()
+        return c
+
+    # budget chosen between the plain estimate and the 13 x params-amplified
+    # Hessian estimate for this tiny book
+    plane_bytes = 64 * 8  # 1 timeline point x 1 state dim x 64 paths x f64
+    budget = int(plane_bytes * 13 * 3 / 2)  # < 13 x 3 params, > 13 x 1
+    monkeypatch.setattr(SimulationController, "STREAMING_AUTO_AD_BUDGET_BYTES",
+                        budget)
+    c_fwd = build(False, False)
+    c_fwd.run_simulation()
+    assert c_fwd._emission_schedule is None  # amp = 1: stays on the plane
+    c_hess = build(True, True)
+    c_hess.run_simulation()
+    assert c_hess._emission_schedule is not None  # amp = 13 x 3 params
