@@ -1085,29 +1085,34 @@ class SimulationController:
 
         return jac
 
-    def _chunked_outer_jacfwd(self, grads_fn):
-        """Hessian = forward-over-forward with the OUTER tangent basis also
-        lax.map'd.  ``jax.jacfwd(grads_fn)`` vmaps all P outer tangents
-        through every inner sweep at once — P x the first-order memory (the
-        1M-path north-star Hessian wanted 95.9GB; per-sweep it is ~8GB).
-        Returns H[i][j] = d grads[i] / d p[j], identical to jax.jacfwd's
-        layout."""
-        chunk = max(1, int(self.grad_chunk_size))
+    def _hessian_row_fn(self, grads_fn):
+        """One Hessian ROW: the outer forward tangent of the gradient
+        function in direction ``tb``.  ``jax.jacfwd(grads_fn)`` vmaps all P
+        outer tangents through every inner sweep in ONE program — P x the
+        first-order memory (the 1M-path north-star Hessian wanted 95.9GB of
+        HBM) and a device execution P x as long (which remote relays kill).
+        Compiling this row function once and dispatching it per parameter
+        from the host keeps each execution first-order-sized; the row in
+        direction e_j is (d grads[i] / d p_j for every i) — jax.jacfwd's
+        column j."""
 
-        def hess(p):
-            n = len(p)
+        def row(p, tb):
+            return jax.jvp(grads_fn, (p,), (tb,))[1]
+
+        return row
+
+    def _run_hessians(self, params):
+        n = len(params)
+        rows = []
+        for j in range(n):
             basis = tuple(
-                jnp.asarray(np.eye(n)[:, j], dtype=jnp.result_type(p[j]))
-                for j in range(n)
+                jnp.asarray(np.eye(n)[j, k], dtype=jnp.result_type(params[k]))
+                for k in range(n)
             )
-            rows = jax.lax.map(
-                lambda tb: jax.jvp(grads_fn, (p,), (tb,))[1],
-                basis,
-                batch_size=chunk if chunk > 1 else None,
-            )  # tuple over output-grad index i of [P, V]
-            return tuple(tuple(rows[i][j] for j in range(n)) for i in range(n))
-
-        return hess
+            rows.append(self._jitted_hessian_row(params, basis))
+            jax.block_until_ready(rows[-1])
+        # rows[j][i] = d grads[i] / d p_j  ->  H[i][j]
+        return tuple(tuple(rows[j][i] for j in range(n)) for i in range(n))
 
     def _build_jitted(self, params):
         """Build (once) and cache the jitted value/gradient/Hessian pipelines
@@ -1140,7 +1145,7 @@ class SimulationController:
             self._flat_fn = flat_fn
             self._jitted_values = jax.jit(flat_fn)
             self._jitted_grads = jax.jit(grads_fn)
-            self._jitted_hessians = jax.jit(self._chunked_outer_jacfwd(grads_fn))
+            self._jitted_hessian_row = jax.jit(self._hessian_row_fn(grads_fn))
 
     def _decide_streaming(self) -> None:
         """Pick streaming vs plane mode once the request plan exists.
@@ -1273,7 +1278,7 @@ class SimulationController:
             grads = self._jitted_grads(params)
             jax.block_until_ready(grads)
             if self.requires_higher_order_derivatives:
-                hessians = self._jitted_hessians(params)
+                hessians = self._run_hessians(params)
                 jax.block_until_ready(hessians)
         t3 = time.perf_counter()
 

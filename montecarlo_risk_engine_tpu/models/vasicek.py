@@ -52,6 +52,27 @@ class VasicekModel(Model):
         r0 = jnp.broadcast_to(rate, (num_paths,))
         return jnp.stack([r0, jnp.zeros_like(r0)], axis=-1)
 
+    def supports_pallas_paths(self, scheme):
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        return scheme == SimulationScheme.ANALYTICAL
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+        """Fused exact-OU trajectory via the hardware-PRNG kernel
+        (ops/pallas_paths.vasicek_paths); state [T, N, 2] = [r, log_B]."""
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            pick_rows_per_block,
+            vasicek_paths,
+        )
+
+        rows = pick_rows_per_block(num_paths)
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        return vasicek_paths(
+            params, timeline, num_paths, num_steps, seed=seed,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+        )
+
     def covariance_matrix(self, params, delta_t):
         # Exact conditional variance of the OU increment (vasicek.py:52-60).
         _, sigma, _, a = self._unpack(params)

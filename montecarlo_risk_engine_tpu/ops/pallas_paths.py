@@ -176,6 +176,100 @@ def heston_qe_paths(
     return states
 
 
+def vasicek_paths(
+    params,
+    timeline: Sequence[float],
+    num_paths: int,
+    num_steps: int,
+    seed: int = 0,
+    calibration_date: float = 0.0,
+    rows_per_block: int = 256,
+):
+    """Exact-OU Vasicek trajectories at timeline points: [T, N, 2] f32.
+
+    State convention matches models/vasicek.py (reference vasicek.py:62-86):
+    state = [r, log_B], r stepped with the exact conditional OU law per
+    substep, log_B accumulated left-Riemann (quirk Q3 preserved).  ``params``
+    = (rate, volatility, mean, mean_reversion_speed) may be traced — they
+    ride into the kernel through SMEM; dts are compile-time constants.
+    """
+    params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
+    block_paths = rows_per_block * _LANES
+    if num_paths % block_paths:
+        raise ValueError(f"num_paths must be a multiple of {block_paths}")
+    n_blocks = num_paths // block_paths
+    total_rows = num_paths // _LANES
+
+    points = [float(t) for t in timeline]
+    t_prev = float(calibration_date)
+    intervals = []
+    for t in points:
+        intervals.append((t - t_prev) / num_steps)
+        t_prev = t
+    num_points = len(points)
+
+    def kernel(seed_ref, p_ref, r_ref, logb_ref):
+        block = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + block)
+        shape = (rows_per_block, _LANES)
+        r0, sigma, theta, a = p_ref[0], p_ref[1], p_ref[2], p_ref[3]
+        r = jnp.full(shape, 0.0, dtype=jnp.float32) + r0
+        log_b = jnp.zeros(shape, dtype=jnp.float32)
+
+        pending = [None]  # spare Box-Muller normal across substeps
+
+        def draw():
+            if pending[0] is None:
+                z_a, z_b = _normal_pair(shape)
+                pending[0] = z_b
+                return z_a
+            z = pending[0]
+            pending[0] = None
+            return z
+
+        for point in range(num_points):
+            dt = intervals[point]
+            if dt > 0.0:
+                for _ in range(num_steps):
+                    decay = jnp.exp(-a * dt)
+                    scale = jnp.sqrt(
+                        (sigma * sigma / (2.0 * a)) * (1.0 - decay * decay)
+                    )
+                    z = draw()
+                    log_b = log_b + r * dt
+                    r = theta + (r - theta) * decay + scale * z
+            r_ref[point] = r
+            logb_ref[point] = log_b
+
+    out_shape = jax.ShapeDtypeStruct((num_points, total_rows, _LANES), jnp.float32)
+    rs, logbs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (num_points, rows_per_block, _LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_points, rows_per_block, _LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(out_shape, out_shape),
+    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
+
+    return jnp.stack(
+        [rs.reshape(num_points, num_paths), logbs.reshape(num_points, num_paths)],
+        axis=-1,
+    )
+
+
 def pick_rows_per_block(num_paths: int, preferred: int = 256):
     """Largest rows-per-block <= preferred with num_paths % (rows*128) == 0.
 

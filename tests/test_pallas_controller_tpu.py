@@ -122,3 +122,31 @@ def test_pallas_controller_heston_qe_matches_semi_analytic():
     ref = float(option.compute_pv_analytically_heston(model))
     # QE at 8 substeps carries a small discretisation bias; 4 sigma + bias room
     assert abs(pv - ref) < 4 * se + 0.05
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_controller_vasicek_bond_matches_closed_form():
+    """Fused exact-OU kernel through the controller: zero-bond PV via the
+    pathwise numeraire E[1/B(T)] must hit the Vasicek closed form P(0,T)
+    within MC error (+ the left-Riemann numeraire bias at 16 substeps)."""
+    from montecarlo_risk_engine_tpu import Bond, VasicekModel
+
+    n = 1 << 20
+    model = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                         volatility=0.012, asset_id="irs")
+    bond = Bond(startdate=0.0, maturity=3.0, notional=1.0, tenor=3.0,
+                pays_notional=True, fixed_rate=0.0, asset_id="irs")
+    c = SimulationController(
+        netting_sets=[NettingSet(name="bond", products=[bond])],
+        model=model,
+        risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+        num_paths_mainsim=n, num_paths_presim=0, num_steps=16,
+        simulation_scheme=SimulationScheme.ANALYTICAL,
+    )
+    r = c.run_simulation()
+    assert c._pallas_active
+    pv = float(r.get_results("bond", "pv", evaluation_idx=0))
+    se = float(r.get_mc_error("bond", "pv", evaluation_idx=0))
+    ref = float(model.bond_price(model.initial_params(), 0.0, 3.0,
+                                 model.initial_params()[0]))
+    assert abs(pv - ref) < 4 * se + 2e-4, (pv, ref, se)
