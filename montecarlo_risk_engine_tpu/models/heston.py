@@ -82,8 +82,6 @@ class HestonModel(Model):
         return scheme == SimulationScheme.QE
 
     def supports_pallas_paths(self, scheme):
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
-
         return scheme == SimulationScheme.QE and not self.perform_smoothing
 
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
