@@ -159,6 +159,44 @@ class TerminalBatch:
         """Per-product cashflow date (terminal families have exactly one)."""
         return np.array([p.product_timeline[-1] for p in self.products])
 
+    # Target size of the dense [products, paths] cashflow temp per chunk.
+    # A 10k-option x 1M-path book would otherwise materialise a 40GB payoff
+    # matrix before the per-netting-set segment reduction.
+    CASHFLOW_CHUNK_BYTES = 1 << 30
+
+    def _slice(self, lo: int, hi: int) -> "TerminalBatch":
+        sub = type(self)(self.products[lo:hi], self.ns_idx[lo:hi],
+                         self.time_to_index)
+        # analytic fast-path flags (EuropeanEquityBatch) ride along
+        for attr in ("use_analytic_exposure", "analytic_model"):
+            if hasattr(self, attr):
+                setattr(sub, attr, getattr(self, attr))
+        return sub
+
+    def segmented_cashflows(self, tables, n_ns: int, num_paths: int):
+        """Per-netting-set pathwise cashflows [n_ns, N], accumulating the
+        payoff matrix in product chunks so the dense [P, N] temp stays under
+        CASHFLOW_CHUNK_BYTES."""
+        from montecarlo_risk_engine_tpu.config import real_dtype
+
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        chunk = max(1, self.CASHFLOW_CHUNK_BYTES // max(1, num_paths * itemsize))
+        num_products = len(self.products)
+        if num_products <= chunk:
+            return jax.ops.segment_sum(
+                self.cashflows(tables), jnp.asarray(self.ns_idx),
+                num_segments=n_ns,
+            )
+        total = jnp.zeros((n_ns, num_paths), dtype=real_dtype())
+        for lo in range(0, num_products, chunk):
+            hi = min(lo + chunk, num_products)
+            sub = self._slice(lo, hi)
+            total = total + jax.ops.segment_sum(
+                sub.cashflows(tables), jnp.asarray(sub.ns_idx),
+                num_segments=n_ns,
+            )
+        return total
+
     def explanatory_assets(self):
         """Per-product explanatory asset: the first asset id (quirk Q9 —
         single-factor regression, controller.py:361,366)."""
@@ -307,6 +345,54 @@ class EuropeanEquityBatch(TerminalBatch):
         spots = self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :]
         numeraire = self._numeraires(tables, tidx, times)
         return jnp.maximum(signs * (spots - strikes), 0.0) / numeraire
+
+    # Use the sorted-strike hinge-sum path once the book is this many times
+    # larger than its (asset, date, sign, netting-set) group count.
+    HINGE_SUM_MIN_RATIO = 4
+
+    def segmented_cashflows(self, tables, n_ns: int, num_paths: int):
+        """Per-netting-set pathwise cashflows [n_ns, N] in O(groups x N).
+
+        A European book's per-netting-set cashflow at one (asset, date, sign)
+        is a SUM OF HINGES of the same scalar spot:
+            calls:  sum_p max(S - k_p, 0) = S*c(S) - prefix[c(S)]
+            puts:   sum_p max(k_p - S, 0) = (total - prefix[c(S)]) - S*(K - c(S))
+        with c(S) = #{sorted strikes <= S} found by searchsorted.  That
+        replaces the dense [P, N] payoff matrix (40GB for 10k options x 1M
+        paths — the per-chunk temps still stack up under XLA's overlap
+        scheduler) with a handful of [N]-sized piecewise-linear evaluations.
+        Identical math, different summation order (strikes sorted)."""
+        from collections import defaultdict as _dd
+
+        from montecarlo_risk_engine_tpu.config import real_dtype
+
+        prods = self.products
+        groups = _dd(list)
+        for i, p in enumerate(prods):
+            sign = 1.0 if p.option_type == OptionType.CALL else -1.0
+            key = (int(self.ns_idx[i]), p.underlying.get_asset_id(),
+                   p.exercise_date, sign)
+            groups[key].append(p.strike)
+        if len(prods) < self.HINGE_SUM_MIN_RATIO * len(groups):
+            return super().segmented_cashflows(tables, n_ns, num_paths)
+
+        total = jnp.zeros((n_ns, num_paths), dtype=real_dtype())
+        for (ns, asset, date, sign), ks in sorted(groups.items()):
+            t_i = np.array([self.time_to_index[date]])
+            t_v = np.array([date])
+            spot = tables.rows(AtomicRequestType.SPOT, asset, t_i, t_v)[0]
+            numeraire = self._numeraires(tables, t_i, t_v)[0]
+            ks_sorted = np.sort(np.asarray(ks, dtype=float))
+            prefix = np.concatenate([[0.0], np.cumsum(ks_sorted)])
+            ks_dev = asarray(ks_sorted)
+            prefix_dev = asarray(prefix)
+            c = jnp.searchsorted(ks_dev, spot, side="right")
+            if sign > 0:
+                val = spot * c - prefix_dev[c]
+            else:
+                val = (prefix[-1] - prefix_dev[c]) - spot * (len(ks_sorted) - c)
+            total = total.at[ns].add(val / numeraire)
+        return total
 
     # -- analytic exposure fast path (european_option.py:123-145, batched) ----
 

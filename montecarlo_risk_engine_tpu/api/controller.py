@@ -848,6 +848,7 @@ class SimulationController:
                 ns_seg = jnp.asarray(batch.ns_idx)
                 cfs_batch = None
                 exp_ns = None
+                seg = None
                 if isinstance(batch, ExerciseEquityBatch):
                     cfs_batch, exp_pp = batch.evaluate(tables, ctx)
                     if need_exp and exp_pp is not None:
@@ -857,7 +858,11 @@ class SimulationController:
                         )(exp_pp)
                 else:
                     if need_cfs:
-                        cfs_batch = batch.cashflows(tables)
+                        # product-chunked accumulation: never materialises a
+                        # [P, N] payoff matrix beyond the chunk budget
+                        seg = batch.segmented_cashflows(
+                            tables, n_ns, self.num_paths_mainsim
+                        )
                     if need_exp:
                         exp_ns = batch.exposure_contributions(tables, ctx)
 
@@ -865,6 +870,7 @@ class SimulationController:
                     has_pathwise[ns_idx] = True
                 if cfs_batch is not None and need_cfs:
                     seg = jax.ops.segment_sum(cfs_batch, ns_seg, num_segments=n_ns)
+                if seg is not None and need_cfs:
                     for ns_idx in set(batch.ns_idx.tolist()):
                         accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS] = (
                             accumulators[ns_idx][PathwisePrimitive.DISCOUNTED_CASHFLOWS]

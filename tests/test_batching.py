@@ -168,3 +168,86 @@ def test_batched_exposure_analytic_matches_per_product():
                 plain.get_results(ns, metric),
                 rtol=1e-8, atol=1e-10,
             )
+
+
+def test_segmented_cashflows_chunked_equals_dense(monkeypatch):
+    """Product-chunked cashflow accumulation (TerminalBatch.segmented_cashflows)
+    is bit-identical to the dense [P, N] path — the chunking only bounds the
+    payoff-matrix temp (a 10k-option x 1M-path book is 40GB dense)."""
+    from montecarlo_risk_engine_tpu.api.batching import TerminalBatch
+
+    asset_ids = ["a0", "a1"]
+    corr = np.array([[1.0, 0.3], [0.3, 1.0]])
+
+    def run():
+        model = BlackScholesMulti(0.0, rate=0.03, asset_ids=asset_ids,
+                                  spots=[100.0, 95.0],
+                                  volatilities=[0.2, 0.25],
+                                  correlation_matrix=corr)
+        prods = [
+            EuropeanOption(Equity(asset_ids[i % 2]), 1.0 + 0.25 * (i % 4),
+                           90.0 + 5 * (i % 5),
+                           OptionType.CALL if i % 2 else OptionType.PUT,
+                           asset_id=asset_ids[i % 2])
+            for i in range(37)
+        ]
+        c = SimulationController(
+            netting_sets=[NettingSet(name="book", products=prods)],
+            model=model, risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=4096, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+        return float(c.run_simulation().get_results("book", "pv", evaluation_idx=0))
+
+    pv_dense = run()
+    monkeypatch.setattr(TerminalBatch, "CASHFLOW_CHUNK_BYTES", 4096 * 8 * 5)
+    pv_chunked = run()
+    assert pv_dense == pv_chunked
+
+
+def test_european_hinge_sum_equals_dense_payoffs():
+    """The sorted-strike hinge-sum cashflow path (O(groups x N)) matches the
+    dense [P, N] payoff matrix to float precision across netting sets,
+    calls/puts and maturities."""
+    from montecarlo_risk_engine_tpu.api.batching import EuropeanEquityBatch
+
+    asset_ids = ["a0", "a1"]
+    corr = np.array([[1.0, 0.3], [0.3, 1.0]])
+
+    def run():
+        model = BlackScholesMulti(0.0, rate=0.03, asset_ids=asset_ids,
+                                  spots=[100.0, 95.0],
+                                  volatilities=[0.2, 0.25],
+                                  correlation_matrix=corr)
+        prods1 = [
+            EuropeanOption(Equity(asset_ids[i % 2]), 1.0 + 0.25 * (i % 4),
+                           85.0 + 2.5 * (i % 12),
+                           OptionType.CALL if i % 3 else OptionType.PUT,
+                           asset_id=asset_ids[i % 2])
+            for i in range(140)
+        ]
+        prods2 = [
+            EuropeanOption(Equity(asset_ids[i % 2]), 1.5, 100.0 + i,
+                           OptionType.PUT, asset_id=asset_ids[i % 2])
+            for i in range(60)
+        ]
+        c = SimulationController(
+            netting_sets=[NettingSet(name="b1", products=prods1),
+                          NettingSet(name="b2", products=prods2)],
+            model=model, risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=8192, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+        r = c.run_simulation()
+        return [float(r.get_results(n, "pv", evaluation_idx=0))
+                for n in ("b1", "b2")]
+
+    hinge = run()
+    old = EuropeanEquityBatch.HINGE_SUM_MIN_RATIO
+    EuropeanEquityBatch.HINGE_SUM_MIN_RATIO = 10**9  # force the dense path
+    try:
+        dense = run()
+    finally:
+        EuropeanEquityBatch.HINGE_SUM_MIN_RATIO = old
+    for a, b in zip(hinge, dense):
+        assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)

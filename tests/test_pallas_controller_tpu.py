@@ -125,28 +125,44 @@ def test_pallas_controller_heston_qe_matches_semi_analytic():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
-def test_pallas_controller_vasicek_bond_matches_closed_form():
-    """Fused exact-OU kernel through the controller: zero-bond PV via the
-    pathwise numeraire E[1/B(T)] must hit the Vasicek closed form P(0,T)
-    within MC error (+ the left-Riemann numeraire bias at 16 substeps)."""
+def test_pallas_controller_vasicek_bond_matches_engine():
+    """Fused exact-OU kernel through the controller: statistical equivalence
+    with the jnp scan engine on a zero-bond book.  Both carry the SAME
+    left-Riemann numeraire bias (quirk Q3, ~7e-4 at 16 substeps over 3y), so
+    kernel vs engine must agree within combined MC error while both sit in a
+    discretisation-bias band around the closed form P(0,T)."""
     from montecarlo_risk_engine_tpu import Bond, VasicekModel
 
     n = 1 << 20
-    model = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
-                         volatility=0.012, asset_id="irs")
-    bond = Bond(startdate=0.0, maturity=3.0, notional=1.0, tenor=3.0,
-                pays_notional=True, fixed_rate=0.0, asset_id="irs")
-    c = SimulationController(
-        netting_sets=[NettingSet(name="bond", products=[bond])],
-        model=model,
-        risk_metrics=RiskMetrics(metrics=[PVMetric()]),
-        num_paths_mainsim=n, num_paths_presim=0, num_steps=16,
-        simulation_scheme=SimulationScheme.ANALYTICAL,
-    )
-    r = c.run_simulation()
-    assert c._pallas_active
-    pv = float(r.get_results("bond", "pv", evaluation_idx=0))
-    se = float(r.get_mc_error("bond", "pv", evaluation_idx=0))
+
+    def make(use_pallas):
+        model = VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.3, volatility=0.012,
+                             asset_id="irs")
+        bond = Bond(startdate=0.0, maturity=3.0, notional=1.0, tenor=3.0,
+                    pays_notional=True, fixed_rate=0.0, asset_id="irs")
+        return model, SimulationController(
+            netting_sets=[NettingSet(name="bond", products=[bond])],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=n, num_paths_presim=0, num_steps=16,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+            use_pallas=use_pallas,
+        )
+
+    model, c_pallas = make(True)
+    _, c_scan = make(False)
+    r_p = c_pallas.run_simulation()
+    r_s = c_scan.run_simulation()
+    assert c_pallas._pallas_active and not c_scan._pallas_active
+
+    pv_p = float(r_p.get_results("bond", "pv", evaluation_idx=0))
+    pv_s = float(r_s.get_results("bond", "pv", evaluation_idx=0))
+    se_p = float(r_p.get_mc_error("bond", "pv", evaluation_idx=0))
+    se_s = float(r_s.get_mc_error("bond", "pv", evaluation_idx=0))
+    assert abs(pv_p - pv_s) < 4 * np.hypot(se_p, se_s) + 1e-4, (pv_p, pv_s)
+
     ref = float(model.bond_price(model.initial_params(), 0.0, 3.0,
                                  model.initial_params()[0]))
-    assert abs(pv - ref) < 4 * se + 2e-4, (pv, ref, se)
+    for pv in (pv_p, pv_s):  # shared Q3 bias band
+        assert abs(pv - ref) < 2e-3, (pv, ref)
