@@ -367,6 +367,11 @@ class EuropeanEquityBatch(TerminalBatch):
         from montecarlo_risk_engine_tpu.config import real_dtype
 
         prods = self.products
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        if len(prods) * num_paths * itemsize <= self.CASHFLOW_CHUNK_BYTES:
+            # dense [P, N] fits the temp budget: one fused kernel beats a
+            # per-group op chain (compile time scales with group count)
+            return super().segmented_cashflows(tables, n_ns, num_paths)
         groups = _dd(list)
         for i, p in enumerate(prods):
             sign = 1.0 if p.option_type == OptionType.CALL else -1.0

@@ -242,12 +242,13 @@ def test_european_hinge_sum_equals_dense_payoffs():
         return [float(r.get_results(n, "pv", evaluation_idx=0))
                 for n in ("b1", "b2")]
 
-    hinge = run()
-    old = EuropeanEquityBatch.HINGE_SUM_MIN_RATIO
-    EuropeanEquityBatch.HINGE_SUM_MIN_RATIO = 10**9  # force the dense path
+    dense = run()
+    old_bytes = EuropeanEquityBatch.CASHFLOW_CHUNK_BYTES
+    # shrink the dense-temp budget so the hinge-sum branch engages
+    EuropeanEquityBatch.CASHFLOW_CHUNK_BYTES = 0
     try:
-        dense = run()
+        hinge = run()
     finally:
-        EuropeanEquityBatch.HINGE_SUM_MIN_RATIO = old
+        EuropeanEquityBatch.CASHFLOW_CHUNK_BYTES = old_bytes
     for a, b in zip(hinge, dense):
         assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
