@@ -165,13 +165,22 @@ class TerminalBatch:
     CASHFLOW_CHUNK_BYTES = 1 << 30
 
     def _slice(self, lo: int, hi: int) -> "TerminalBatch":
-        sub = type(self)(self.products[lo:hi], self.ns_idx[lo:hi],
+        return self._subset(range(lo, hi))
+
+    def _subset(self, rows) -> "TerminalBatch":
+        rows = list(rows)
+        sub = type(self)([self.products[i] for i in rows],
+                         self.ns_idx[np.asarray(rows, dtype=int)],
                          self.time_to_index)
         # analytic fast-path flags (EuropeanEquityBatch) ride along
         for attr in ("use_analytic_exposure", "analytic_model"):
             if hasattr(self, attr):
                 setattr(sub, attr, getattr(self, attr))
         return sub
+
+    def _cashflow_chunk(self, num_paths: int) -> int:
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        return max(1, self.CASHFLOW_CHUNK_BYTES // max(1, num_paths * itemsize))
 
     def segmented_cashflows(self, tables, n_ns: int, num_paths: int):
         """Per-netting-set pathwise cashflows [n_ns, N], accumulating the
@@ -223,11 +232,11 @@ class TerminalBatch:
         """
         regfn = ctx.regression_function
         deg = regfn.get_degree()
-        cf_norm = self.cashflows(tables)          # [P, N] normalized terminal cfs
         maturities = self.maturities()
         assets = self.explanatory_assets()
         P = len(self.products)
         t_grid = np.array(ctx.exposure_timeline)
+        chunk = self._cashflow_chunk(tables.num_paths)
 
         by_asset = defaultdict(list)
         for p_idx, a in enumerate(assets):
@@ -245,11 +254,18 @@ class TerminalBatch:
             scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
             gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
             # rhs[t,d,p] = sum_n basis[t,n,d] num[t,n] cf[p,n], masked to
-            # strictly-future cashflows (maturity > t)
-            rhs = jnp.einsum(
-                "tnd,pn->tdp", basis_s * numeraire[:, :, None], cf_norm[p_rows],
-                precision="highest",
-            )
+            # strictly-future cashflows (maturity > t).  The [Pa, N]
+            # normalized-cashflow block is built in product chunks so the fit
+            # never materialises a payoff matrix beyond the chunk budget.
+            weighted = basis_s * numeraire[:, :, None]
+            rhs_parts = []
+            for lo in range(0, len(p_rows), chunk):
+                rows_c = p_rows[lo:lo + chunk]
+                cf_c = self._subset(rows_c).cashflows(tables)     # [K, N]
+                rhs_parts.append(jnp.einsum(
+                    "tnd,pn->tdp", weighted, cf_c, precision="highest",
+                ))
+            rhs = jnp.concatenate(rhs_parts, axis=-1)
             mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
             rhs = rhs * mask[:, None, :]
             sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
