@@ -538,18 +538,18 @@ class SimulationController:
                 explanatory=expl, regression_function=regfn,
                 state_matrix=state, coeffs_all_states=coeffs,
             )[:, 0]
-            return (state, cfs), continuation / num
+            return (state, cfs), (continuation / num, state[:, 0])
 
         carry0 = (state0, jnp.zeros((num_paths,), dtype=real_dtype()))
         if extras is None:
-            (_, cfs), exposures_all = jax.lax.scan(
+            (_, cfs), (exposures_all, states_all) = jax.lax.scan(
                 lambda c, e: body(c, (e, None)), carry0, xs + (coeffs_all,)
             )
         else:
-            (_, cfs), exposures_all = jax.lax.scan(
+            (_, cfs), (exposures_all, states_all) = jax.lax.scan(
                 body, carry0, (xs + (coeffs_all,), extras)
             )
-        return cfs, exposures_all
+        return cfs, exposures_all, states_all
 
     def _exercise_result_from_rows(self, num_paths, cfs, exposures_all, exp_rows, exp_slots):
         if len(self.exposure_timeline) and len(exp_rows):
@@ -568,12 +568,53 @@ class SimulationController:
             product, resolved, num_paths
         )
         coeffs_all = self._scan_coeffs[product.product_id]
-        cfs, exposures_all = self._exercise_forward_scan(
+        cfs, exposures_all, _ = self._exercise_forward_scan(
             product, num_paths, coeffs_all, xs, extras
         )
         return self._exercise_result_from_rows(
             num_paths, cfs, exposures_all, exp_rows, exp_slots
         )
+
+    def simulate_exercise_states(self, product: Product):
+        """Realized per-product-date states [len(product_timeline), N] under
+        the LSM exercise policy — the reference's storage_volume_over_time.py
+        diagnostic (inventory/right trajectories).  Self-contained jit: runs
+        the presim fit and the mainsim forward scan for this one product with
+        the same threefry streams as run_simulation()."""
+        if not self._supports_exercise_scan(product):
+            raise ValueError(
+                f"{type(product).__name__} has no scan-executor path"
+            )
+        params = tuple(self.model.initial_params())
+        if getattr(self, "_plan", None) is None:
+            from montecarlo_risk_engine_tpu.requests import RequestPlan
+
+            self._plan = RequestPlan(self.model)
+            self._plan.collect_and_index_requests(
+                self.products, self.simulation_timeline,
+                self._get_requests(), self.metric_exposure_timeline,
+            )
+            self._decide_streaming()
+
+        def fn(p):
+            n_pre, n_main = self.num_paths_presim, self.num_paths_mainsim
+            resolved_pre, _ = self._simulate_and_resolve(p, n_pre, rng.PHASE_PRESIM)
+            xs_pre, extras_pre, *_ = self._exercise_event_tables(
+                product, resolved_pre, n_pre
+            )
+            coeffs_all = self._exercise_backward_scan(
+                product, n_pre, xs_pre, extras_pre
+            )
+            resolved, _ = self._simulate_and_resolve(p, n_main, rng.PHASE_MAINSIM)
+            xs, extras, prod_rows, _, _ = self._exercise_event_tables(
+                product, resolved, n_main
+            )
+            _, _, states_all = self._exercise_forward_scan(
+                product, n_main, coeffs_all, xs, extras
+            )
+            return states_all[np.asarray(prod_rows)]
+
+        return np.asarray(jax.jit(fn)(params))
 
     # -- bucketed (vmapped) exercise scans ------------------------------------
     #
@@ -665,11 +706,11 @@ class SimulationController:
         xs, extras = self._stack_event_tables(tabs)
         coeffs_p = jnp.stack([self._scan_coeffs[p.product_id] for p in prods])
         if extras is None:
-            cfs_p, expo_p = jax.vmap(
+            cfs_p, expo_p, _ = jax.vmap(
                 lambda c, x: self._exercise_forward_scan(rep, n_main, c, x, None)
             )(coeffs_p, xs)
         else:
-            cfs_p, expo_p = jax.vmap(
+            cfs_p, expo_p, _ = jax.vmap(
                 lambda c, x, e: self._exercise_forward_scan(rep, n_main, c, x, e)
             )(coeffs_p, xs, extras)
         results = []

@@ -35,6 +35,7 @@ def _run_example(module_name, **kwargs):
     "ee_pfe_swaption",
     "eepe_simulation",
     "storage_volume_constraints",
+    "storage_volume_over_time",
 ])
 def test_profile_example_saves_plot(module_name):
     path = _run_example(module_name, num_paths=512, save_plot=True)
