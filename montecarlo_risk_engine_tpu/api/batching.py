@@ -509,6 +509,53 @@ class BinaryBatch(TerminalBatch):
         payoff = amounts * (is_call * above + (1.0 - is_call) * (1.0 - above))
         return payoff / numeraire
 
+    HINGE_SUM_MIN_RATIO = 4
+
+    def segmented_cashflows(self, tables, n_ns: int, num_paths: int):
+        """Per-netting-set digital cashflows in O(groups x N).
+
+        The fuzzy digital payoff clip((S - k + eps)/2eps, 0, 1) (eps=1,
+        reference binary_option.py:37-42) is piecewise linear in S, so a
+        group's payment-weighted sum evaluates from two searchsorteds against
+        the sorted strikes plus payment/payment*strike prefix sums — the
+        digital analogue of the European hinge-sum path."""
+        from collections import defaultdict as _dd
+
+        prods = self.products
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        if len(prods) * num_paths * itemsize <= self.CASHFLOW_CHUNK_BYTES:
+            return super().segmented_cashflows(tables, n_ns, num_paths)
+        groups = _dd(list)
+        for i, p in enumerate(prods):
+            key = (int(self.ns_idx[i]), p.get_asset_id(), p.maturity,
+                   p.option_type == OptionType.CALL)
+            groups[key].append((p.strike, p.payment_amount))
+        if len(prods) < self.HINGE_SUM_MIN_RATIO * len(groups):
+            return super().segmented_cashflows(tables, n_ns, num_paths)
+
+        eps = 1.0
+        total = jnp.zeros((n_ns, num_paths), dtype=real_dtype())
+        for (ns, asset, date, is_call), pairs in sorted(groups.items()):
+            t_i = np.array([self.time_to_index[date]])
+            t_v = np.array([date])
+            spot = tables.rows(AtomicRequestType.SPOT, asset, t_i, t_v)[0]
+            numeraire = self._numeraires(tables, t_i, t_v)[0]
+            pairs = sorted(pairs)
+            ks = np.array([k for k, _ in pairs])
+            amts = np.array([a for _, a in pairs])
+            pay_prefix = np.concatenate([[0.0], np.cumsum(amts)])
+            payk_prefix = np.concatenate([[0.0], np.cumsum(amts * ks)])
+            ks_dev = asarray(ks)
+            A = asarray(pay_prefix)
+            B = asarray(payk_prefix)
+            c1 = jnp.searchsorted(ks_dev, spot - eps, side="right")
+            c2 = jnp.searchsorted(ks_dev, spot + eps, side="left")
+            band = ((spot + eps) * (A[c2] - A[c1]) - (B[c2] - B[c1])) / (2.0 * eps)
+            val_above = A[c1] + band  # sum_p amt_p * clip((S-k_p+eps)/2eps,0,1)
+            val = val_above if is_call else (pay_prefix[-1] - val_above)
+            total = total.at[ns].add(val / numeraire)
+        return total
+
 
 class BasketBatch(TerminalBatch):
     @staticmethod

@@ -252,3 +252,38 @@ def test_european_hinge_sum_equals_dense_payoffs():
         EuropeanEquityBatch.CASHFLOW_CHUNK_BYTES = old_bytes
     for a, b in zip(hinge, dense):
         assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
+
+
+def test_binary_piecewise_linear_equals_dense_payoffs():
+    """The digital piecewise-linear cashflow path (two searchsorteds +
+    payment prefix sums) matches the dense fuzzy payoff matrix."""
+    from montecarlo_risk_engine_tpu import BinaryOption, BlackScholesModel
+    from montecarlo_risk_engine_tpu.api.batching import BinaryBatch
+
+    def run():
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.25,
+                                  asset_id="eq")
+        prods = [
+            BinaryOption(1.0 + 0.5 * (i % 3), 80.0 + 0.37 * i,
+                         payment_amount=5.0 + (i % 7),
+                         option_type=OptionType.CALL if i % 3 else OptionType.PUT,
+                         asset_id="eq")
+            for i in range(120)
+        ]
+        c = SimulationController(
+            netting_sets=[NettingSet(name="dig", products=prods)],
+            model=model, risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=8192, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+        return float(c.run_simulation().get_results("dig", "pv",
+                                                    evaluation_idx=0))
+
+    dense = run()
+    old = BinaryBatch.CASHFLOW_CHUNK_BYTES
+    BinaryBatch.CASHFLOW_CHUNK_BYTES = 0
+    try:
+        pw = run()
+    finally:
+        BinaryBatch.CASHFLOW_CHUNK_BYTES = old
+    assert abs(dense - pw) < 1e-9 * max(1.0, abs(dense)), (dense, pw)
