@@ -23,7 +23,6 @@ jnp engine.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Sequence
 

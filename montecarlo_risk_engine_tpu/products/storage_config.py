@@ -15,7 +15,6 @@ from bisect import bisect_left, bisect_right
 from dataclasses import dataclass, field
 from typing import List, Tuple
 
-import jax.numpy as jnp
 
 DATE_TOL = 1e-12
 VOLUME_TOL = 1e-12

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import enum
 
-import jax.numpy as jnp
 
 from collections import defaultdict
 

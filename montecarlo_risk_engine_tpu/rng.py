@@ -14,7 +14,6 @@ or evaluation order, which is the distributed-determinism property SURVEY.md
 
 from __future__ import annotations
 
-import jax
 import jax.random as jrandom
 
 # Phase identifiers (folded into the root key).
