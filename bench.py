@@ -20,9 +20,17 @@ import jax
 # reference contract's f64 accuracy tests run on CPU under x64 — see tests/).
 
 from montecarlo_risk_engine_tpu import rng
-from montecarlo_risk_engine_tpu.config import SimulationScheme
+from montecarlo_risk_engine_tpu.config import SimulationScheme, enable_compilation_cache
 from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
 from montecarlo_risk_engine_tpu.models.heston import HestonModel
+
+# Persistent compile cache: repeat runs skip the minutes-long remote AOT
+# step; the throughput measurement itself happens after an in-process warmup
+# so cached compilation never affects the reported number.
+try:
+    enable_compilation_cache("/tmp/jax_compile_cache")
+except Exception:
+    pass
 
 REFERENCE_PATH_STEPS_PER_SEC = 5.03e6  # torch f64 CPU, measured 2026-08-16
 
