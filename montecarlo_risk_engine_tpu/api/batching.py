@@ -454,33 +454,61 @@ class EuropeanEquityBatch(TerminalBatch):
         n_ns = ctx.num_netting_sets
         total = jnp.zeros((len(t_grid), n_ns, tables.num_paths), dtype=real_dtype())
 
+        chunk = self._cashflow_chunk(tables.num_paths)
         for a, p_rows in by_asset.items():
             p_rows = np.array(p_rows)
             spot_rows = tables.rows(AtomicRequestType.SPOT, a, tidx, t_grid)      # [T, N]
             num_rows = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", tidx, t_grid)
             sigma = vol_of[a]
-            k = strikes[p_rows][:, None]
-            call_mask = asarray(is_call[p_rows])[:, None]
-            seg = ns_seg[p_rows]
-            taus_mat = maturities[p_rows][None, :] - t_grid[:, None]              # [T, Pa]
-            alive_mat = asarray(taus_mat > 0.0)
-            tau_mat = asarray(np.where(taus_mat > 0.0, taus_mat, 1.0))
+            # product tables padded to [C, K] chunks: a nested lax.scan keeps
+            # only one [K, N] price block live at a time (a 10k-option x 1M-
+            # path book is a 40GB dense [Pa, N] block per date otherwise)
+            pa = len(p_rows)
+            n_chunks = max(1, -(-pa // chunk))
+            pad = n_chunks * chunk - pa
+            k_mat = np.pad(strikes_np := np.asarray(
+                [prods[i].strike for i in p_rows], dtype=float), (0, pad),
+                constant_values=1.0).reshape(n_chunks, chunk)
+            call_mat = np.pad(is_call[p_rows], (0, pad)).reshape(n_chunks, chunk)
+            seg_mat = np.pad(np.asarray(self.ns_idx)[p_rows], (0, pad)).reshape(
+                n_chunks, chunk)
+            mat_mat = np.pad(maturities[p_rows], (0, pad),
+                             constant_values=-1.0).reshape(n_chunks, chunk)
+            k_dev = asarray(k_mat)[:, :, None]
+            call_dev = asarray(call_mat)[:, :, None]
+            seg_dev = jnp.asarray(seg_mat)
+            mat_dev = asarray(mat_mat)
 
             def body(carry, xs):
-                spot_t, num_t, tau_t, alive_t = xs
-                spot = spot_t[None, :]
-                tau = tau_t[:, None]
-                sqrt_tau = jnp.sqrt(tau)
-                d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
-                d2 = d1 - sigma * sqrt_tau
-                disc_k = k * jnp.exp(-rate * tau)
-                call = spot * ndtr(d1) - disc_k * ndtr(d2)
-                put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
-                price = jnp.where(call_mask, call, put)
-                price = price * alive_t[:, None] / num_t[None, :]
-                return carry, jax.ops.segment_sum(price, seg, num_segments=n_ns)
+                spot_t, num_t, t_now = xs
 
-            _, rows = jax.lax.scan(body, 0.0, (spot_rows, num_rows, tau_mat, alive_mat))
+                def chunk_body(acc, cxs):
+                    k, call_m, seg_c, mats = cxs
+                    tau_raw = mats[:, None] - t_now
+                    alive = tau_raw > 0.0
+                    tau = jnp.where(alive, tau_raw, 1.0)
+                    spot = spot_t[None, :]
+                    sqrt_tau = jnp.sqrt(tau)
+                    d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
+                    d2 = d1 - sigma * sqrt_tau
+                    disc_k = k * jnp.exp(-rate * tau)
+                    call = spot * ndtr(d1) - disc_k * ndtr(d2)
+                    put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
+                    price = jnp.where(call_m, call, put)
+                    price = jnp.where(alive, price, 0.0) / num_t[None, :]
+                    return acc + jax.ops.segment_sum(
+                        price, seg_c, num_segments=n_ns
+                    ), None
+
+                acc0 = jnp.zeros((n_ns, spot_t.shape[0]), dtype=real_dtype())
+                rows_t, _ = jax.lax.scan(
+                    chunk_body, acc0, (k_dev, call_dev, seg_dev, mat_dev)
+                )
+                return carry, rows_t
+
+            _, rows = jax.lax.scan(
+                body, 0.0, (spot_rows, num_rows, asarray(t_grid))
+            )
             total = total + rows
         return total
 

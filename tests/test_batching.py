@@ -287,3 +287,39 @@ def test_binary_piecewise_linear_equals_dense_payoffs():
     finally:
         BinaryBatch.CASHFLOW_CHUNK_BYTES = old
     assert abs(dense - pw) < 1e-9 * max(1.0, abs(dense)), (dense, pw)
+
+
+def test_analytic_exposure_chunked_equals_single_chunk(monkeypatch):
+    """The analytic European exposure path chunks its per-date [Pa, N] price
+    block through a nested lax.scan — profiles identical to the one-chunk
+    evaluation."""
+    from montecarlo_risk_engine_tpu import BlackScholesModel, EPEMetric, PFEMetric
+    from montecarlo_risk_engine_tpu.api.batching import EuropeanEquityBatch
+
+    def run():
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        prods = [
+            EuropeanOption(Equity("eq"), 1.5 + 0.25 * (i % 4),
+                           90.0 + 3 * (i % 7),
+                           OptionType.CALL if i % 2 else OptionType.PUT,
+                           asset_id="eq")
+            for i in range(23)
+        ]
+        c = SimulationController(
+            netting_sets=[NettingSet(name="book", products=prods)],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[EPEMetric(), PFEMetric(0.95)],
+                                     exposure_timeline=[0.5, 1.0, 1.4]),
+            num_paths_mainsim=8192, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+        r = c.run_simulation()
+        return [float(r.get_results("book", m, evaluation_idx=i))
+                for m in ("epe", "pfe[0.95]") for i in range(3)]
+
+    base = run()
+    monkeypatch.setattr(EuropeanEquityBatch, "CASHFLOW_CHUNK_BYTES", 8192 * 8 * 4)
+    chunked = run()
+    for a, b in zip(base, chunked):
+        assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
