@@ -1266,16 +1266,22 @@ class SimulationController:
             return False
         from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
 
+        # emission size per path: the whole trajectory block must fit scoped
+        # VMEM (pick_rows_per_block shrinks the block, or bails to the XLA
+        # engine for very long timelines)
+        outputs = len(self.simulation_timeline) * self.model.state_dim
         eligible = (
             jax.default_backend() == "tpu"
             and not self.differentiate
             and not self.antithetic
             and self.path_sharding is None
             and self.model.supports_pallas_paths(self.simulation_scheme)
-            and pick_rows_per_block(self.num_paths_mainsim) is not None
+            and pick_rows_per_block(self.num_paths_mainsim,
+                                    outputs_per_path=outputs) is not None
             and (
                 not (self.requires_regression and self.num_paths_presim > 0)
-                or pick_rows_per_block(self.num_paths_presim) is not None
+                or pick_rows_per_block(self.num_paths_presim,
+                                       outputs_per_path=outputs) is not None
             )
         )
         if self.use_pallas is True and not eligible:

@@ -57,7 +57,7 @@ class BlackScholesModel(Model):
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(num_paths)
+        rows = pick_rows_per_block(num_paths, outputs_per_path=len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         spot, sigma, rate = self._unpack(params)

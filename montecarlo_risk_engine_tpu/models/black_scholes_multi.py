@@ -74,7 +74,9 @@ class BlackScholesMulti(Model):
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(num_paths)
+        rows = pick_rows_per_block(
+            num_paths, outputs_per_path=len(timeline) * self.num_assets
+        )
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         n = self.num_assets

@@ -92,7 +92,7 @@ class HestonModel(Model):
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(num_paths)
+        rows = pick_rows_per_block(num_paths, outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return heston_qe_paths(

@@ -65,7 +65,7 @@ class VasicekModel(Model):
             vasicek_paths,
         )
 
-        rows = pick_rows_per_block(num_paths)
+        rows = pick_rows_per_block(num_paths, outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return vasicek_paths(

@@ -269,11 +269,22 @@ def vasicek_paths(
     )
 
 
-def pick_rows_per_block(num_paths: int, preferred: int = 256):
-    """Largest rows-per-block <= preferred with num_paths % (rows*128) == 0.
+# Per-block output budget: the whole [T*D, rows, 128] f32 emission block
+# lives in scoped VMEM (16MB limit) alongside the step temps.
+_VMEM_BLOCK_BUDGET_BYTES = 8 << 20
 
-    Returns None when no block size >= 8 divides the path count (the caller
-    should fall back to the XLA scan engine)."""
+
+def pick_rows_per_block(num_paths: int, preferred: int = 256,
+                        outputs_per_path: int = 1):
+    """Largest rows-per-block <= preferred with num_paths % (rows*128) == 0,
+    shrunk so the per-block emission (outputs_per_path f32 values per path)
+    stays inside the scoped-VMEM budget.
+
+    Returns None when no block size >= 8 fits (the caller should fall back
+    to the XLA scan engine)."""
+    budget_rows = _VMEM_BLOCK_BUDGET_BYTES // max(1, outputs_per_path * _LANES * 4)
+    while preferred > budget_rows and preferred >= 8:
+        preferred //= 2
     rows = preferred
     while rows >= 8:
         if num_paths % (rows * _LANES) == 0:
