@@ -464,40 +464,50 @@ class EuropeanEquityBatch(TerminalBatch):
             # only one [K, N] price block live at a time (a 10k-option x 1M-
             # path book is a 40GB dense [Pa, N] block per date otherwise)
             pa = len(p_rows)
-            n_chunks = max(1, -(-pa // chunk))
-            pad = n_chunks * chunk - pa
-            k_mat = np.pad(strikes_np := np.asarray(
+            chunk_a = min(chunk, pa)
+            n_chunks = max(1, -(-pa // chunk_a))
+            pad = n_chunks * chunk_a - pa
+            k_mat = np.pad(np.asarray(
                 [prods[i].strike for i in p_rows], dtype=float), (0, pad),
-                constant_values=1.0).reshape(n_chunks, chunk)
-            call_mat = np.pad(is_call[p_rows], (0, pad)).reshape(n_chunks, chunk)
+                constant_values=1.0).reshape(n_chunks, chunk_a)
+            call_mat = np.pad(is_call[p_rows], (0, pad)).reshape(n_chunks, chunk_a)
             seg_mat = np.pad(np.asarray(self.ns_idx)[p_rows], (0, pad)).reshape(
-                n_chunks, chunk)
+                n_chunks, chunk_a)
             mat_mat = np.pad(maturities[p_rows], (0, pad),
-                             constant_values=-1.0).reshape(n_chunks, chunk)
+                             constant_values=-1.0).reshape(n_chunks, chunk_a)
             k_dev = asarray(k_mat)[:, :, None]
             call_dev = asarray(call_mat)[:, :, None]
             seg_dev = jnp.asarray(seg_mat)
             mat_dev = asarray(mat_mat)
 
+            def chunk_price(spot_t, num_t, t_now, k, call_m, seg_c, mats):
+                tau_raw = mats[:, None] - t_now
+                alive = tau_raw > 0.0
+                tau = jnp.where(alive, tau_raw, 1.0)
+                spot = spot_t[None, :]
+                sqrt_tau = jnp.sqrt(tau)
+                d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
+                d2 = d1 - sigma * sqrt_tau
+                disc_k = k * jnp.exp(-rate * tau)
+                call = spot * ndtr(d1) - disc_k * ndtr(d2)
+                put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
+                price = jnp.where(call_m, call, put)
+                price = jnp.where(alive, price, 0.0) / num_t[None, :]
+                return jax.ops.segment_sum(price, seg_c, num_segments=n_ns)
+
             def body(carry, xs):
                 spot_t, num_t, t_now = xs
+                if n_chunks == 1:
+                    # test/CI-sized books: one fused block, no inner scan
+                    # (a scan-of-scan costs far more XLA CPU compile time)
+                    rows_t = chunk_price(spot_t, num_t, t_now, k_dev[0],
+                                         call_dev[0], seg_dev[0], mat_dev[0])
+                    return carry, rows_t
 
                 def chunk_body(acc, cxs):
                     k, call_m, seg_c, mats = cxs
-                    tau_raw = mats[:, None] - t_now
-                    alive = tau_raw > 0.0
-                    tau = jnp.where(alive, tau_raw, 1.0)
-                    spot = spot_t[None, :]
-                    sqrt_tau = jnp.sqrt(tau)
-                    d1 = (jnp.log(spot / k) + (rate + 0.5 * sigma * sigma) * tau) / (sigma * sqrt_tau)
-                    d2 = d1 - sigma * sqrt_tau
-                    disc_k = k * jnp.exp(-rate * tau)
-                    call = spot * ndtr(d1) - disc_k * ndtr(d2)
-                    put = disc_k * ndtr(-d2) - spot * ndtr(-d1)
-                    price = jnp.where(call_m, call, put)
-                    price = jnp.where(alive, price, 0.0) / num_t[None, :]
-                    return acc + jax.ops.segment_sum(
-                        price, seg_c, num_segments=n_ns
+                    return acc + chunk_price(
+                        spot_t, num_t, t_now, k, call_m, seg_c, mats
                     ), None
 
                 acc0 = jnp.zeros((n_ns, spot_t.shape[0]), dtype=real_dtype())
