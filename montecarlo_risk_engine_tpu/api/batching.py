@@ -105,6 +105,14 @@ class EmittedTables:
             for t in np.asarray(tidx).tolist():
                 lkey = (int(t), asset_id, kind)
                 if lkey not in lookup:
+                    if lkey in self.schedule.ambiguous_kinds:
+                        raise KeyError(
+                            f"ambiguous streaming emission for {kind} on "
+                            f"'{asset_id}' at time index {t}: several requests "
+                            f"share this (time, asset, kind) with different "
+                            f"(t1, t2) parameters, so a kind-level query "
+                            f"cannot pick one — query by handle instead"
+                        )
                     raise KeyError(
                         f"streaming emission missing for {kind} on '{asset_id}' "
                         f"at time index {t} — request not registered in the plan"

@@ -166,6 +166,12 @@ class SimulationController:
         # runs on TPU when the model ships a kernel (ops/pallas_paths.py).
         if use_pallas not in ("auto", True, False):
             raise ValueError("use_pallas must be 'auto', True or False")
+        if use_pallas is True and streaming is True:
+            raise ValueError(
+                "use_pallas=True and streaming=True are mutually exclusive: "
+                "the fused kernels materialise the state plane that "
+                "streaming mode avoids"
+            )
         self.use_pallas = use_pallas
         self._pallas_active = False
 
@@ -1024,7 +1030,8 @@ class SimulationController:
                 states = self.model.pallas_paths(
                     params, self.simulation_scheme, self.simulation_timeline,
                     num_paths, self.num_steps,
-                    seed=(self.root_seed << 1) | (phase & 1),
+                    # independent seed words: no cross-phase draw collisions
+                    seed=self.root_seed, phase=phase,
                 ).astype(real_dtype())
                 states = jnp.swapaxes(states, 1, 2)
             else:
@@ -1232,12 +1239,13 @@ class SimulationController:
                 amp = 13.0
                 if self.requires_higher_order_derivatives:
                     amp *= max(1, len(self.model.initial_params()))
+            plane_threshold, ad_budget = self._auto_memory_budgets()
             if emitted_rows > 2 * plane_rows:
                 mode = False
             else:
                 mode = (
-                    plane_bytes > self.STREAMING_AUTO_THRESHOLD_BYTES
-                    or amp * plane_bytes > self.STREAMING_AUTO_AD_BUDGET_BYTES
+                    plane_bytes > plane_threshold
+                    or amp * plane_bytes > ad_budget
                     or emitted_rows * 4 <= plane_rows
                 )
             self._emission_schedule = schedule if mode else None
@@ -1249,12 +1257,66 @@ class SimulationController:
             self._emission_schedule = None
         self.model.set_state_layout(self._emission_schedule is None)
 
-    # auto mode switches to the streaming engine once the materialised state
-    # plane would exceed this many bytes (see _decide_streaming).
+    # Fallback budgets when the device exposes no memory size (see
+    # _auto_memory_budgets): auto mode switches to the streaming engine once
+    # the materialised state plane would exceed this many bytes ...
     STREAMING_AUTO_THRESHOLD_BYTES = 2 << 30
     # ... or once the AD-amplified plane estimate would exceed this budget
     # (v5e HBM is 16GB; 14GB leaves room for the non-plane residents).
     STREAMING_AUTO_AD_BUDGET_BYTES = 14 << 30
+
+    # device_kind -> HBM bytes, for backends (like the axon relay) whose
+    # memory_stats() is None.  Sources: public TPU system specs.
+    _DEVICE_HBM_BYTES = {
+        "TPU v2": 8 << 30,
+        "TPU v3": 16 << 30,
+        "TPU v4": 32 << 30,
+        "TPU v5 lite": 16 << 30,
+        "TPU v5e": 16 << 30,
+        "TPU v5p": 95 << 30,
+        "TPU v5": 95 << 30,
+        "TPU v6 lite": 32 << 30,
+        "TPU v6e": 32 << 30,
+        "TPU7x": 192 << 30,
+    }
+
+    def _device_hbm_bytes(self):
+        """Per-device accelerator memory in bytes, or None when unknown
+        (CPU meshes, exotic backends)."""
+        try:
+            dev = jax.local_devices()[0]
+        except Exception:
+            return None
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+            if limit:
+                return int(limit)
+        kind = getattr(dev, "device_kind", "") or ""
+        # longest-prefix match so "TPU v5 lite" resolves before "TPU v5"
+        for name in sorted(self._DEVICE_HBM_BYTES, key=len, reverse=True):
+            if kind.startswith(name):
+                return self._DEVICE_HBM_BYTES[name]
+        return None
+
+    def _auto_memory_budgets(self):
+        """(plane_threshold_bytes, ad_budget_bytes) for streaming auto mode.
+
+        Derived from the actual device memory when discoverable — the v5e
+        constants mis-classify on a 95GB v5p (streaming engaged where the
+        ~1.8x-faster plane still fits) and on CPU hosts.  The ratios match
+        the measured v5e calibration: plane threshold = HBM/8 (2GB at 16GB),
+        AD budget = 7/8 HBM (14GB at 16GB, leaving room for the non-plane
+        residents).  Falls back to the v5e constants when memory size is
+        unknown."""
+        hbm = self._device_hbm_bytes()
+        if not hbm:
+            return (self.STREAMING_AUTO_THRESHOLD_BYTES,
+                    self.STREAMING_AUTO_AD_BUDGET_BYTES)
+        return hbm // 8, hbm - hbm // 8
 
     def _decide_pallas(self) -> bool:
         """Fused-kernel path generation is the forward-only TPU speed path:
@@ -1263,6 +1325,18 @@ class SimulationController:
         antithetic, sharded, or CPU runs.  Statistical equivalence to the XLA
         scan engine is pinned by tests/test_pallas_controller_tpu.py."""
         if self.use_pallas is False:
+            return False
+        if self.streaming is True:
+            # An explicit streaming request wins over kernel auto-activation
+            # (the kernel path materialises the [T, N, D] plane, the exact
+            # thing streaming exists to avoid); both explicitly True is a
+            # contradiction the user must resolve.
+            if self.use_pallas is True:
+                raise ValueError(
+                    "use_pallas=True and streaming=True are mutually "
+                    "exclusive: the fused kernels materialise the state "
+                    "plane that streaming mode avoids"
+                )
             return False
         from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
 

@@ -124,7 +124,8 @@ class Model:
         return False
 
     def pallas_paths(self, params, scheme, timeline, num_paths: int,
-                     num_steps: int, seed: int):
+                     num_steps: int, seed: int, phase: int = 0,
+                     block_offset=0):
         """States at each timeline point, [T, num_paths, state_dim] f32."""
         raise NotImplementedError
 

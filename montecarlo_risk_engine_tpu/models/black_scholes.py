@@ -50,7 +50,8 @@ class BlackScholesModel(Model):
     def supports_pallas_paths(self, scheme):
         return scheme == SimulationScheme.ANALYTICAL
 
-    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0):
         """Single-asset exact GBM = 1-asset case of the multi kernel."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
             bs_multi_paths,
@@ -63,7 +64,7 @@ class BlackScholesModel(Model):
         spot, sigma, rate = self._unpack(params)
         log_states = bs_multi_paths(
             [spot], [sigma], rate, [[1.0]],
-            timeline, num_paths, seed=seed,
+            timeline, num_paths, seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
         return jnp.exp(log_states)

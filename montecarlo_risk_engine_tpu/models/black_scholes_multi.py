@@ -64,7 +64,8 @@ class BlackScholesMulti(Model):
     def supports_pallas_paths(self, scheme):
         return scheme == SimulationScheme.ANALYTICAL
 
-    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0):
         """Exact correlated-GBM trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.bs_multi_paths).  The kernel carries log-spots; the
         model state convention is spot levels, so exponentiate on the way out
@@ -82,7 +83,7 @@ class BlackScholesMulti(Model):
         n = self.num_assets
         log_states = bs_multi_paths(
             params[:n], params[n:2 * n], params[2 * n], self._corr,
-            timeline, num_paths, seed=seed,
+            timeline, num_paths, seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
         return jnp.exp(log_states)

@@ -84,7 +84,8 @@ class HestonModel(Model):
     def supports_pallas_paths(self, scheme):
         return scheme == SimulationScheme.QE and not self.perform_smoothing
 
-    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0):
         """Fused QE trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.heston_qe_paths); state [T, N, 2] = [logS, v]."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
@@ -96,7 +97,8 @@ class HestonModel(Model):
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return heston_qe_paths(
-            params, timeline, num_paths, num_steps, seed=seed,
+            params, timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
 

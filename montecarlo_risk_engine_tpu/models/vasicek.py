@@ -57,7 +57,8 @@ class VasicekModel(Model):
 
         return scheme == SimulationScheme.ANALYTICAL
 
-    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps, seed):
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0):
         """Fused exact-OU trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.vasicek_paths); state [T, N, 2] = [r, log_B]."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
@@ -69,7 +70,8 @@ class VasicekModel(Model):
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return vasicek_paths(
-            params, timeline, num_paths, num_steps, seed=seed,
+            params, timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
 

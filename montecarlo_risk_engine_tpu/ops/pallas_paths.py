@@ -12,9 +12,17 @@ path block:
   * all model parameters ride in SMEM; per-interval dts are compile-time
     constants (static timeline), so the step loop fully unrolls.
 
-Determinism: draws are a pure function of (seed, block index); they are a
-*different* (equally valid) stream from the threefry engine, so kernel paths
-are statistically — not bitwise — equivalent to the jnp engine's.
+Determinism: draws are a pure function of (seed, phase, global block index),
+packed into the two ``pltpu.prng_seed`` words as (seed<<8|phase, block) —
+phase only ever varies within word 0 and block within word 1, so pre-sim
+(phase 42) and main-sim (phase 43) streams can never collide for any block
+layout (round-2 advisor finding: the old packed seed ``(root<<1)|phase`` plus
+``seed+block`` made mainsim block b replay presim block b+1, which would have
+put LSM regressions in-sample).  ``block_offset`` shifts the global block
+index so a shard_map'd kernel draws the same stream per *global* block as the
+unsharded kernel.  They are a *different* (equally valid) stream from the
+threefry engine, so kernel paths are statistically — not bitwise —
+equivalent to the jnp engine's.
 
 Scope: forward path generation (no AAD) — the speed path for valuation and
 exposure runs where gradients are not requested.  Differentiated runs use the
@@ -33,6 +41,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _TWO_PI = 2.0 * math.pi
+
+
+def _seed_words(seed, phase, block_offset):
+    """SMEM seed vector [seed<<8 | phase, block_offset] (each may be traced).
+
+    Mosaic supports at most TWO prng_seed words, so phase is packed into the
+    low byte of word 0 — within a run only the phase varies, so pre-sim and
+    main-sim word-0 values are always distinct (no arithmetic sliding like
+    the old ``seed + block`` scheme); word 1 is the global block index."""
+    word0 = jnp.asarray(seed, dtype=jnp.int32) << 8 | (
+        jnp.asarray(phase, dtype=jnp.int32) & 0xFF
+    )
+    return jnp.stack([word0, jnp.asarray(block_offset, dtype=jnp.int32)])
 
 
 def _uniforms(shape):
@@ -99,6 +120,8 @@ def heston_qe_paths(
     num_paths: int,
     num_steps: int,
     seed: int = 0,
+    phase: int = 0,
+    block_offset=0,
     calibration_date: float = 0.0,
     rows_per_block: int = 256,
 ):
@@ -125,7 +148,10 @@ def heston_qe_paths(
 
     def kernel(seed_ref, p_ref, logs_ref, v_ref):
         block = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + block)
+        # two independent seed words (Mosaic's limit): phase-distinct word 0,
+        # global block (= offset + local block under shard_map) as word 1 --
+        # no cross-phase or cross-shard stream collisions
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + block)
         shape = (rows_per_block, _LANES)
         spot, sigma, rate, rho = p_ref[0], p_ref[1], p_ref[2], p_ref[3]
         kappa, theta, v0 = p_ref[4], p_ref[5], p_ref[6]
@@ -166,7 +192,7 @@ def heston_qe_paths(
             ),
         ),
         out_shape=(out_shape, out_shape),
-    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
+    )(_seed_words(seed, phase, block_offset), params_vec)
 
     states = jnp.stack(
         [logs.reshape(num_points, num_paths), vs.reshape(num_points, num_paths)],
@@ -181,6 +207,8 @@ def vasicek_paths(
     num_paths: int,
     num_steps: int,
     seed: int = 0,
+    phase: int = 0,
+    block_offset=0,
     calibration_date: float = 0.0,
     rows_per_block: int = 256,
 ):
@@ -209,7 +237,10 @@ def vasicek_paths(
 
     def kernel(seed_ref, p_ref, r_ref, logb_ref):
         block = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + block)
+        # two independent seed words (Mosaic's limit): phase-distinct word 0,
+        # global block (= offset + local block under shard_map) as word 1 --
+        # no cross-phase or cross-shard stream collisions
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + block)
         shape = (rows_per_block, _LANES)
         r0, sigma, theta, a = p_ref[0], p_ref[1], p_ref[2], p_ref[3]
         r = jnp.full(shape, 0.0, dtype=jnp.float32) + r0
@@ -261,7 +292,7 @@ def vasicek_paths(
             ),
         ),
         out_shape=(out_shape, out_shape),
-    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
+    )(_seed_words(seed, phase, block_offset), params_vec)
 
     return jnp.stack(
         [rs.reshape(num_points, num_paths), logbs.reshape(num_points, num_paths)],
@@ -301,6 +332,8 @@ def bs_multi_paths(
     timeline: Sequence[float],
     num_paths: int,
     seed: int = 0,
+    phase: int = 0,
+    block_offset=0,
     calibration_date: float = 0.0,
     rows_per_block: int = 256,
 ):
@@ -343,7 +376,10 @@ def bs_multi_paths(
 
     def kernel(seed_ref, p_ref, out_ref):
         block = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + block)
+        # two independent seed words (Mosaic's limit): phase-distinct word 0,
+        # global block (= offset + local block under shard_map) as word 1 --
+        # no cross-phase or cross-shard stream collisions
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + block)
         shape = (rows_per_block, _LANES)
         rate_v = p_ref[2 * num_assets]
         log_s = [
@@ -385,7 +421,7 @@ def bs_multi_paths(
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
-    )(jnp.asarray([seed], dtype=jnp.int32), params_vec)
+    )(_seed_words(seed, phase, block_offset), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]
     return jnp.moveaxis(out.reshape(num_points, num_assets, num_paths), 1, -1)

