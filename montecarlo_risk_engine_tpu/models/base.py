@@ -88,6 +88,20 @@ class Model:
         """Whether step() consumes a per-path uniform draw (Heston QE only)."""
         return False
 
+    def analytic_factor_loadings(self, params):
+        """Per driver factor k: (a_k, vol_k) such that the ANALYTICAL-scheme
+        noise increment over [t, t+dt] is ``vol_k * int_0^dt e^{-a_k (dt-u)}
+        dW_k(u)`` (a_k = 0 for plain Brownian drivers, e.g. GBM log-spots).
+
+        Used by ModelConfig to assemble the EXACT joint covariance between
+        sub-models under the ANALYTICAL scheme:
+        ``C_ij = v_i v_j rho_ij (1 - e^{-(a_i+a_j) dt}) / (a_i + a_j)`` —
+        generalising the reference's BS x BS-only closed form
+        (model_config.py:193-221).  Return None when the model's exact
+        transition is not of this Gaussian form (Heston QE, CIR++'s
+        lognormal-proxy "analytic" step)."""
+        return None
+
     # -- stepping -----------------------------------------------------------
 
     def step(self, params, scheme: SimulationScheme, t1, t2, state, corr_noise, uniform=None):
@@ -125,9 +139,32 @@ class Model:
 
     def pallas_paths(self, params, scheme, timeline, num_paths: int,
                      num_steps: int, seed: int, phase: int = 0,
-                     block_offset=0):
+                     block_offset=0, rows_per_block=None):
         """States at each timeline point, [T, num_paths, state_dim] f32."""
         raise NotImplementedError
+
+    def supports_pallas_ad(self, scheme: SimulationScheme) -> bool:
+        """Whether the kernel path composes with AD for this scheme: the
+        transition must be noise-invertible (``invert_noise``) so the
+        custom-JVP tangent rule (ops/pallas_paths_ad.py) can re-derive the
+        step recurrence from the kernel's own draws.  False for Heston QE
+        (branch mixing loses the noise; differentiated QE books stay on the
+        smoothed XLA engine — the validated gradient contract)."""
+        return False
+
+    def invert_noise(self, params, scheme: SimulationScheme, t1, t2, state,
+                     next_state):
+        """The ``corr_noise`` for which ``step(params, scheme, t1, t2,
+        state, corr_noise) == next_state`` — shape [N, simulation_dim].
+
+        Exact transition inversion used by the differentiable kernel path
+        (ops/pallas_paths_ad.py) to recover the hardware-PRNG draws from
+        consecutive emitted states.  Must never produce NaN/inf for valid
+        consecutive states (guard zero-diffusion regions with a 0 noise —
+        their tangent contribution is 0 anyway)."""
+        raise NotImplementedError(
+            f"{type(self).__name__}: transition inversion not implemented"
+        )
 
     # -- observables --------------------------------------------------------
 

@@ -50,15 +50,28 @@ class BlackScholesModel(Model):
     def supports_pallas_paths(self, scheme):
         return scheme == SimulationScheme.ANALYTICAL
 
+    def supports_pallas_ad(self, scheme):
+        return scheme in (SimulationScheme.ANALYTICAL, SimulationScheme.EULER)
+
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        _, sigma, rate = self._unpack(params)
+        dt = t2 - t1
+        if scheme == SimulationScheme.ANALYTICAL:
+            # eta = log(S'/S) - (r - sigma^2/2) dt  (exact GBM inverse)
+            return jnp.log(next_state / state) - (rate - 0.5 * sigma * sigma) * dt
+        # Euler: S' = S (1 + r dt + sigma sqrt(dt) z)
+        return (next_state / state - 1.0 - rate * dt) / (sigma * jnp.sqrt(dt))
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
-                     seed, phase=0, block_offset=0):
+                     seed, phase=0, block_offset=0, rows_per_block=None):
         """Single-asset exact GBM = 1-asset case of the multi kernel."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
             bs_multi_paths,
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(num_paths, outputs_per_path=len(timeline))
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         spot, sigma, rate = self._unpack(params)
@@ -68,6 +81,10 @@ class BlackScholesModel(Model):
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
         return jnp.exp(log_states)
+
+    def analytic_factor_loadings(self, params):
+        _, sigma, _ = self._unpack(params)
+        return [(0.0, sigma)]
 
     def covariance_matrix(self, params, delta_t):
         _, sigma, _ = self._unpack(params)

@@ -64,8 +64,21 @@ class BlackScholesMulti(Model):
     def supports_pallas_paths(self, scheme):
         return scheme == SimulationScheme.ANALYTICAL
 
+    def supports_pallas_ad(self, scheme):
+        return scheme in (SimulationScheme.ANALYTICAL, SimulationScheme.EULER)
+
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        # Per-asset inverse: the marginal of each asset is driven by its own
+        # (already correlated) Brownian, so inversion is columnwise.
+        rate = self._rate(params)
+        sigma = self._vols(params)[None, :]
+        dt = t2 - t1
+        if scheme == SimulationScheme.ANALYTICAL:
+            return jnp.log(next_state / state) - (rate - 0.5 * sigma * sigma) * dt
+        return (next_state / state - 1.0 - rate * dt) / (sigma * jnp.sqrt(dt))
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
-                     seed, phase=0, block_offset=0):
+                     seed, phase=0, block_offset=0, rows_per_block=None):
         """Exact correlated-GBM trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.bs_multi_paths).  The kernel carries log-spots; the
         model state convention is spot levels, so exponentiate on the way out
@@ -75,7 +88,7 @@ class BlackScholesMulti(Model):
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(
+        rows = rows_per_block or pick_rows_per_block(
             num_paths, outputs_per_path=len(timeline) * self.num_assets
         )
         if rows is None:
@@ -90,6 +103,9 @@ class BlackScholesMulti(Model):
 
     def correlation_matrix(self, params, scheme):
         return asarray(self._corr)
+
+    def analytic_factor_loadings(self, params):
+        return [(0.0, v) for v in self._vols(params)]
 
     def covariance_matrix(self, params, delta_t):
         # sigma_i sigma_j rho_ij dt (black_scholes_multi.py:56-61)

@@ -85,7 +85,7 @@ class HestonModel(Model):
         return scheme == SimulationScheme.QE and not self.perform_smoothing
 
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
-                     seed, phase=0, block_offset=0):
+                     seed, phase=0, block_offset=0, rows_per_block=None):
         """Fused QE trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.heston_qe_paths); state [T, N, 2] = [logS, v]."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
@@ -93,7 +93,8 @@ class HestonModel(Model):
             pick_rows_per_block,
         )
 
-        rows = pick_rows_per_block(num_paths, outputs_per_path=2 * len(timeline))
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return heston_qe_paths(

@@ -57,8 +57,27 @@ class VasicekModel(Model):
 
         return scheme == SimulationScheme.ANALYTICAL
 
+    def supports_pallas_ad(self, scheme):
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        return scheme in (SimulationScheme.ANALYTICAL, SimulationScheme.EULER)
+
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        # Exact-OU / Euler residual of the r column; log_B is a deterministic
+        # accumulator (left Riemann on the START state), so it carries no
+        # noise and needs no inversion.
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        _, sigma, theta, a = self._unpack(params)
+        dt = t2 - t1
+        r = state[:, 0:1]
+        r_next = next_state[:, 0:1]
+        if scheme == SimulationScheme.ANALYTICAL:
+            return r_next - theta - (r - theta) * jnp.exp(-a * dt)
+        return (r_next - r - a * (theta - r) * dt) / (sigma * jnp.sqrt(dt))
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
-                     seed, phase=0, block_offset=0):
+                     seed, phase=0, block_offset=0, rows_per_block=None):
         """Fused exact-OU trajectory via the hardware-PRNG kernel
         (ops/pallas_paths.vasicek_paths); state [T, N, 2] = [r, log_B]."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
@@ -66,7 +85,8 @@ class VasicekModel(Model):
             vasicek_paths,
         )
 
-        rows = pick_rows_per_block(num_paths, outputs_per_path=2 * len(timeline))
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return vasicek_paths(
@@ -74,6 +94,10 @@ class VasicekModel(Model):
             seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
         )
+
+    def analytic_factor_loadings(self, params):
+        _, sigma, _, a = self._unpack(params)
+        return [(a, sigma)]
 
     def covariance_matrix(self, params, delta_t):
         # Exact conditional variance of the OU increment (vasicek.py:52-60).

@@ -1,0 +1,187 @@
+"""Exactness of the differentiable-kernel tangent rule (ops/pallas_paths_ad).
+
+The custom-JVP wrapper recovers the per-substep noise from consecutive
+emitted states and re-derives the step recurrence in XLA.  These tests pin
+that rule EXACTLY (f64, ~1e-9) against ``jax.jacfwd`` straight through the
+threefry engine producing the *same* primal states — the rule must agree
+with direct AD for every model whose transition it claims to invert
+(BS, BS-multi, Vasicek, CIR++, and the hybrid north-star container).
+
+On TPU the same wrapper runs over the Pallas kernels; the hardware-side
+equivalence (kernel dense-timeline law, AAD vs common-random-number FD) is
+pinned in tests/test_pallas_kernel_tpu.py / test_pallas_controller_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_risk_engine_tpu import (
+    BlackScholesModel,
+    BlackScholesMulti,
+    CIRPPModel,
+    ModelConfig,
+    SimulationScheme,
+    VasicekModel,
+)
+from montecarlo_risk_engine_tpu import rng
+from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+from montecarlo_risk_engine_tpu.ops.pallas_paths_ad import (
+    dense_timeline,
+    recovered_noise_paths,
+)
+
+HAZARDS = {1.0: 0.02, 2.0: 0.022, 5.0: 0.028}
+
+
+def _models():
+    return {
+        "bs": (
+            BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2, asset_id="eq"),
+            SimulationScheme.ANALYTICAL,
+        ),
+        "bs_multi": (
+            BlackScholesMulti(
+                0.0, spots=[95.0, 105.0], volatilities=[0.2, 0.3], rate=0.02,
+                correlation_matrix=[[1.0, 0.5], [0.5, 1.0]],
+                asset_ids=["a", "b"],
+            ),
+            SimulationScheme.ANALYTICAL,
+        ),
+        "vasicek": (
+            VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                         volatility=0.012, asset_id="irs"),
+            SimulationScheme.ANALYTICAL,
+        ),
+        "cirpp": (
+            CIRPPModel(0.0, asset_id="cp", hazard_rates=HAZARDS, kappa=0.4,
+                       theta=0.02, volatility=0.05, y0=0.01),
+            SimulationScheme.EULER,
+        ),
+        "hybrid": (
+            ModelConfig(
+                [
+                    VasicekModel(0.0, rate=0.03, mean=0.045,
+                                 mean_reversion_speed=0.3, volatility=0.012,
+                                 asset_id="irs"),
+                    BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22,
+                                      asset_id="eq"),
+                    CIRPPModel(0.0, asset_id="cp", hazard_rates=HAZARDS,
+                               kappa=0.4, theta=0.02, volatility=0.05, y0=0.01),
+                ],
+                inter_asset_correlation_matrix=[
+                    np.array([[0.25]]), np.array([[0.4]]), np.array([[0.15]]),
+                ],
+            ),
+            SimulationScheme.EULER,
+        ),
+    }
+
+
+TIMELINE = (0.4, 0.8, 1.3, 2.0)
+NUM_STEPS = 3
+NUM_PATHS = 256
+
+
+def _wrap_and_direct(model, scheme):
+    """(custom-JVP wrapped fn, direct-AD fn) over the SAME dense engine."""
+    dense, orig_idx = dense_timeline(model.calibration_date, TIMELINE, NUM_STEPS)
+
+    def forward_fn(params):
+        return simulate_paths(
+            model, params, scheme, dense, NUM_PATHS, 1, rng.PHASE_MAINSIM,
+            root_seed=7,
+        )
+
+    wrapped = recovered_noise_paths(
+        model, scheme, TIMELINE, NUM_PATHS, NUM_STEPS, forward_fn
+    )
+    direct = lambda params: forward_fn(params)[np.asarray(orig_idx)]
+    return wrapped, direct
+
+
+@pytest.mark.parametrize("name", ["bs", "bs_multi", "vasicek", "cirpp", "hybrid"])
+def test_recovered_noise_tangent_matches_direct_ad(name):
+    model, scheme = _models()[name]
+    wrapped, direct = _wrap_and_direct(model, scheme)
+    params = model.initial_params()
+
+    states_w = jax.jit(wrapped)(params)
+    states_d = jax.jit(direct)(params)
+    np.testing.assert_allclose(
+        np.asarray(states_w), np.asarray(states_d), rtol=1e-12, atol=1e-12
+    )
+
+    # scalar summary so jacfwd stays [P]-shaped; weights make every state
+    # column and time point contribute
+    def summary(fn):
+        def f(p):
+            s = fn(p)
+            w = 1.0 + 0.1 * jnp.arange(s.size, dtype=s.dtype).reshape(s.shape)
+            return jnp.mean(s * w)
+        return f
+
+    g_w = jax.jit(jax.jacfwd(summary(wrapped)))(params)
+    g_d = jax.jit(jax.jacfwd(summary(direct)))(params)
+    for a, b, pname in zip(g_w, g_d, model.get_model_param_names()):
+        np.testing.assert_allclose(
+            float(a), float(b), rtol=1e-8, atol=1e-10, err_msg=f"{name}.{pname}"
+        )
+
+
+def test_recovered_noise_reverse_mode_matches():
+    model, scheme = _models()["hybrid"]
+    wrapped, direct = _wrap_and_direct(model, scheme)
+    params = model.initial_params()
+
+    def summary(fn):
+        return lambda p: jnp.mean(fn(p) ** 2)
+
+    g_w = jax.jit(jax.grad(summary(wrapped)))(params)
+    g_d = jax.jit(jax.grad(summary(direct)))(params)
+    for a, b in zip(g_w, g_d):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-8, atol=1e-10)
+
+
+def test_recovered_noise_second_order_matches():
+    # Hessian rows nest jvp-of-jvp through the custom rule (the controller's
+    # per-parameter row dispatch) — must equal direct second-order AD.
+    model, scheme = _models()["bs"]
+    wrapped, direct = _wrap_and_direct(model, scheme)
+    params = model.initial_params()
+
+    def summary(fn):
+        return lambda p: jnp.mean(fn(p) ** 2)
+
+    h_w = jax.jit(jax.jacfwd(jax.jacfwd(summary(wrapped))))(params)
+    h_d = jax.jit(jax.jacfwd(jax.jacfwd(summary(direct))))(params)
+    for row_w, row_d in zip(h_w, h_d):
+        for a, b in zip(row_w, row_d):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-7, atol=1e-9)
+
+
+def test_dense_timeline_mapping():
+    dense, idx = dense_timeline(0.0, (0.0, 0.5, 1.0), 2)
+    # t=0 point sits at the calibration date: emitted once, no substeps
+    assert dense == (0.0, 0.25, 0.5, 0.75, 1.0)
+    assert list(idx) == [0, 2, 4]
+    # exact endpoints, no accumulation drift
+    dense2, idx2 = dense_timeline(0.0, (1.0 / 3.0,), 3)
+    assert dense2[-1] == 1.0 / 3.0 and list(idx2) == [2]
+
+
+def test_dense_engine_equals_coarse_engine():
+    # The densification claim itself: engine on the dense timeline with
+    # num_steps=1 reproduces the coarse num_steps run at mapped points (same
+    # threefry counters when no zero-dt points exist; dt arithmetic differs
+    # by one rounding, hence ~1e-15 rather than bitwise).
+    model, scheme = _models()["vasicek"]
+    dense, idx = dense_timeline(model.calibration_date, TIMELINE, NUM_STEPS)
+    params = model.initial_params()
+    fine = simulate_paths(model, params, scheme, dense, NUM_PATHS, 1,
+                          rng.PHASE_MAINSIM, root_seed=7)
+    coarse = simulate_paths(model, params, scheme, TIMELINE, NUM_PATHS,
+                            NUM_STEPS, rng.PHASE_MAINSIM, root_seed=7)
+    np.testing.assert_allclose(np.asarray(fine[np.asarray(idx)]),
+                               np.asarray(coarse), rtol=1e-12, atol=1e-14)
