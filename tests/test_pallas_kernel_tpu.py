@@ -124,8 +124,8 @@ def test_phase_streams_never_collide_across_blocks():
     """Regression (ADVICE round 2, high): with the old packed seed
     ((root<<1)|phase) + per-block offset, main-sim block b replayed pre-sim
     block b+1 — LSM regressions would have been fit in-sample.  The kernel now
-    seeds with three independent words (seed, phase, global block): no block
-    of one phase may reproduce any block of the other."""
+    packs (seed, phase, global block) into two independent prng_seed words:
+    no block of one phase may reproduce any block of the other."""
     from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
     from montecarlo_risk_engine_tpu import rng
 

@@ -60,3 +60,51 @@ def test_sharded_run_matches_single_device():
     g_plain = plain.get_derivatives("ns", "pv", evaluation_idx=0)
     for name in g_plain:
         np.testing.assert_allclose(g_sharded[name], g_plain[name], rtol=1e-8)
+
+
+def test_shard_paths_over_mesh_layout_cpu():
+    """Mesh plumbing on the 8-device CPU mesh with a deterministic fake
+    path_fn: the assembled [T, N, D] plane must place device d's block at
+    global paths [d*local, (d+1)*local) with block_offset = d * local/block
+    (the contract the kernels' global-block seeding relies on)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from montecarlo_risk_engine_tpu.ops.pallas_shard import shard_paths_over_mesh
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("paths",))
+    sharding = NamedSharding(mesh, PartitionSpec("paths"))
+
+    block_paths = 4
+    local = 8
+    num_paths = local * n_dev
+
+    def path_fn(params, local_paths, offset):
+        # one row per path: value = global block index * scale + params[0]
+        blocks = offset + jnp.arange(local_paths // block_paths)
+        vals = jnp.repeat(blocks, block_paths).astype(jnp.float32)
+        return (vals[None, :, None] + params[0])  # [1, local, 1]
+
+    out = jax.jit(
+        lambda p: shard_paths_over_mesh(path_fn, p, sharding, num_paths, block_paths)
+    )((jnp.float32(0.25),))
+    expected = np.repeat(np.arange(num_paths // block_paths), block_paths) + 0.25
+    np.testing.assert_array_equal(np.asarray(out)[0, :, 0], expected.astype(np.float32))
+
+
+def test_shard_paths_validation_errors():
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from montecarlo_risk_engine_tpu.ops.pallas_shard import shard_paths_over_mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("paths",))
+    sharding = NamedSharding(mesh, PartitionSpec("paths"))
+    fn = lambda p, n, o: None
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_paths_over_mesh(fn, (), sharding, len(jax.devices()) * 8 + 1, 4)
