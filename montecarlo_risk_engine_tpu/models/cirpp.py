@@ -148,6 +148,64 @@ class CIRPPModel(Model):
         y = jnp.full_like(state[:, 0], lam_next)
         return jnp.stack([y, log_b], axis=-1)
 
+    def supports_pallas_paths(self, scheme):
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        return scheme == SimulationScheme.EULER
+
+    def supports_pallas_ad(self, scheme):
+        return self.supports_pallas_paths(scheme)
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0, rows_per_block=None):
+        """Fused full-truncation-Euler trajectory: the 1-block case of the
+        hybrid kernel (ops/pallas_hybrid.py); state [T, N, 2] = [y, log_B]."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
+        )
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            pick_rows_per_block,
+        )
+
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=2 * len(timeline))
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        block = KernelBlock(
+            "cirpp_det" if self.deterministic else "cirpp", "euler", 0, 2, 1,
+            hazard_tenors=tuple(np.asarray(self.tenors).tolist()),
+            hazard_rates=tuple(np.asarray(self.hazard_rates).tolist()),
+        )
+        params_vec = jnp.stack(
+            [jnp.asarray(p, dtype=jnp.float32) for p in params]
+        )
+        return hybrid_paths(
+            [block], np.eye(1), timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+            params_vec=params_vec,
+        )
+
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        # Full-truncation Euler residual of the y column (log_B is a
+        # deterministic accumulator of lambda(t1, y_t1)).  Where the
+        # diffusion vanishes (y <= 0 under full truncation) the draw is
+        # unrecoverable but its tangent coefficient is 0, so return 0.
+        # Deterministic mode consumes no noise at all.
+        if self.deterministic:
+            return jnp.zeros_like(state[:, 0:1])
+        kappa, theta, sigma, _ = self._unpack(params)
+        dt = t2 - t1
+        y = state[:, 0:1]
+        y_next = next_state[:, 0:1]
+        diff = sigma * jnp.sqrt(jnp.maximum(y, 0.0)) * jnp.sqrt(dt)
+        raw = y_next - y - kappa * (theta - y) * dt
+        safe = jnp.where(diff > 0.0, diff, 1.0)
+        return jnp.where(diff > 0.0, raw / safe, 0.0)
+
     def step_euler(self, params, t1, t2, state, corr_noise):
         # Full-truncation Euler with lambda accumulator (cirpp.py:174-198).
         if self.deterministic:

@@ -92,6 +92,10 @@ class HullWhiteModel(Model):
         r0 = jnp.broadcast_to(self._fwd0(self.calibration_date), (num_paths,)).astype(real_dtype())
         return jnp.stack([r0, jnp.zeros_like(r0)], axis=-1)
 
+    def analytic_factor_loadings(self, params):
+        sigma, a = params
+        return [(a, sigma)]
+
     def covariance_matrix(self, params, delta_t):
         sigma, a = params
         var = (sigma * sigma / (2.0 * a)) * (1.0 - jnp.exp(-2.0 * a * delta_t))

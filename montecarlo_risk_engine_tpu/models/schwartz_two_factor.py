@@ -95,6 +95,10 @@ class SchwartzTwoFactorModel(Model):
         one = jnp.ones((), dtype=real_dtype())
         return jnp.stack([jnp.stack([one, rho]), jnp.stack([rho, one])])
 
+    def analytic_factor_loadings(self, params):
+        _, kappa, sig_s, _, sig_l, _ = self._unpack(params)
+        return [(kappa, sig_s), (0.0, sig_l)]
+
     def covariance_matrix(self, params, delta_t):
         # Exact one-step covariance of (x, y), with the kappa -> 0 limit
         # (schwartz_two_factor.py:124-145).

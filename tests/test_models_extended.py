@@ -139,3 +139,90 @@ def test_hybrid_analytic_bs_pair_covariance():
     states = simulate_paths(hybrid, params, SimulationScheme.ANALYTICAL, [2.0], 100_000, 1, rng.PHASE_MAINSIM)
     emp = np.corrcoef(np.log(np.asarray(states[0, :, 0])), np.log(np.asarray(states[0, :, 1])))[0, 1]
     assert abs(emp - 0.5) < 2e-2
+
+
+def test_hybrid_analytical_inter_covariance_ou_pairs():
+    """VERDICT r2 #5: the ANALYTICAL joint covariance is no longer BS x BS
+    only.  Oracle: ANALYTICAL hybrid paths of Vasicek+BS (OU x BM) and
+    Vasicek+Vasicek (OU x OU) reproduce the Euler-converged joint law —
+    terminal cross-correlation within MC error."""
+    import numpy as np
+
+    from montecarlo_risk_engine_tpu import (
+        BlackScholesModel,
+        ModelConfig,
+        SimulationScheme,
+        VasicekModel,
+    )
+    from montecarlo_risk_engine_tpu import rng as _rng
+    from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+
+    def joint_corr(model, scheme, num_steps, col_a, col_b, xform_a, xform_b):
+        params = model.initial_params()
+        states = np.asarray(simulate_paths(
+            model, params, scheme, (1.0, 2.0), 65_536, num_steps,
+            _rng.PHASE_MAINSIM, root_seed=11,
+        ))
+        a = xform_a(states[-1, :, col_a])
+        b = xform_b(states[-1, :, col_b])
+        return np.corrcoef(a, b)[0, 1]
+
+    rho = 0.6
+    ident = lambda x: x
+
+    # OU x BM pair: Vasicek short rate vs BS log spot
+    def vb():
+        return ModelConfig(
+            [
+                VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.8, volatility=0.015,
+                             asset_id="irs"),
+                BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.25,
+                                  asset_id="eq"),
+            ],
+            inter_asset_correlation_matrix=[np.array([[rho]])],
+        )
+
+    c_exact = joint_corr(vb(), SimulationScheme.ANALYTICAL, 1, 0, 2,
+                         ident, np.log)
+    c_euler = joint_corr(vb(), SimulationScheme.EULER, 64, 0, 2,
+                         ident, np.log)
+    assert abs(c_exact - c_euler) < 0.02, (c_exact, c_euler)
+    assert c_exact > 0.3  # correlation actually flows through
+
+    # OU x OU pair: two Vasicek curves
+    def vv():
+        return ModelConfig(
+            [
+                VasicekModel(0.0, rate=0.03, mean=0.04,
+                             mean_reversion_speed=0.5, volatility=0.012,
+                             asset_id="usd"),
+                VasicekModel(0.0, rate=0.02, mean=0.03,
+                             mean_reversion_speed=1.2, volatility=0.018,
+                             asset_id="eur"),
+            ],
+            inter_asset_correlation_matrix=[np.array([[rho]])],
+        )
+
+    c_exact = joint_corr(vv(), SimulationScheme.ANALYTICAL, 1, 0, 2,
+                         ident, ident)
+    c_euler = joint_corr(vv(), SimulationScheme.EULER, 64, 0, 2,
+                         ident, ident)
+    assert abs(c_exact - c_euler) < 0.02, (c_exact, c_euler)
+    assert c_exact > 0.3
+
+    # pairs without Gaussian loadings still raise (CIR++ analytic proxy)
+    from montecarlo_risk_engine_tpu import CIRPPModel
+    import pytest as _pytest
+
+    bad = ModelConfig(
+        [
+            BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.25,
+                              asset_id="eq"),
+            CIRPPModel(0.0, asset_id="cp", hazard_rates={1.0: 0.02, 5.0: 0.03},
+                       kappa=0.4, theta=0.02, volatility=0.05, y0=0.01),
+        ],
+        inter_asset_correlation_matrix=[np.array([[0.2]])],
+    )
+    with _pytest.raises(NotImplementedError, match="factor loadings"):
+        bad.covariance_matrix(bad.initial_params(), 0.5)

@@ -166,3 +166,201 @@ def test_pallas_controller_vasicek_bond_matches_engine():
                                  model.initial_params()[0]))
     for pv in (pv_p, pv_s):  # shared Q3 bias band
         assert abs(pv - ref) < 2e-3, (pv, ref)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_differentiated_bs_grads_match_closed_form_and_crn_fd():
+    """VERDICT r2 #1: differentiated books now ride the kernels through the
+    custom-JVP noise-recovery wrapper.  Oracles: (a) AAD delta/vega vs the
+    BS closed form within MC error; (b) AAD vs central finite differences of
+    the SAME kernel stream (common random numbers — the hardware draws depend
+    only on (seed, phase, block), not params — so FD is pathwise-exact up to
+    O(h^2))."""
+    from scipy.stats import norm
+
+    n = 262_144
+    c = _bs_controller(n, "auto", differentiate=True)
+    r = c.run_simulation()
+    assert c._pallas_active, "AD books must activate the kernel path now"
+
+    spot, sigma, rate, strike, mat = 100.0, 0.2, 0.03, 100.0, 1.0
+    d1 = (np.log(spot / strike) + (rate + sigma**2 / 2) * mat) / (sigma * np.sqrt(mat))
+    delta_cf = norm.cdf(d1)
+    vega_cf = spot * norm.pdf(d1) * np.sqrt(mat)
+
+    grads = r.get_derivatives("book", "pv", evaluation_idx=0)
+    se = float(r.get_mc_error("book", "pv", evaluation_idx=0))
+    # delta/vega MC error is O(pv error / spot-scale); loose 5x band
+    assert abs(float(grads["spot"]) - delta_cf) < 0.02, grads
+    assert abs(float(grads["volatility"]) - vega_cf) < 0.05 * vega_cf, grads
+
+    # common-random-number central FD on the jitted value pipeline
+    params = tuple(c.model.initial_params())
+    for j, name in enumerate(c.model.get_model_param_names()):
+        h = 1e-3 * max(1.0, abs(float(params[j])))
+        bump = lambda s: tuple(
+            p + (s * h if k == j else 0.0) for k, p in enumerate(params)
+        )
+        up, _ = c._jitted_values(bump(+1))
+        dn, _ = c._jitted_values(bump(-1))
+        fd = (float(up[0]) - float(dn[0])) / (2 * h)
+        aad = float(grads[name])
+        assert abs(aad - fd) < 2e-3 * max(1.0, abs(fd)) + 5e-5, (name, aad, fd)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_differentiated_second_order_matches_engine_aad():
+    """Hessian rows nest jvp-of-jvp through the custom rule.  Oracle: the
+    XLA scan engine's AAD on the same book — the kernel path must replicate
+    the PATHWISE second-order convention exactly, including its known
+    properties: gamma of a hard relu payoff is 0 a.e. (the kink's delta mass
+    is invisible to pathwise AAD on both engines; only finite differences
+    see it), while d2PV/dvol2 has a genuine pathwise estimate (the payoff's
+    smooth region is nonlinear in vol)."""
+    c_k = _bs_controller(262_144, "auto", differentiate=True)
+    c_k.compute_higher_derivatives()
+    r_k = c_k.run_simulation()
+    assert c_k._pallas_active
+
+    c_e = _bs_controller(131_072, False, differentiate=True)
+    c_e.compute_higher_derivatives()
+    r_e = c_e.run_simulation()
+    assert not c_e._pallas_active
+
+    def h2(r, p1, p2):
+        return float(r.get_second_derivatives("book", "pv", p1, p2,
+                                              evaluation_idx=0))
+
+    # pathwise-gamma convention: exactly zero on BOTH paths
+    assert h2(r_k, "spot", "spot") == 0.0
+    assert h2(r_e, "spot", "spot") == 0.0
+    # real second-order signal: different (equally valid) streams, so the
+    # contract is statistical agreement (SE ~ 0.1 at these path counts)
+    v_k = h2(r_k, "volatility", "volatility")
+    v_e = h2(r_e, "volatility", "volatility")
+    assert abs(v_k - v_e) < 0.5 + 0.05 * abs(v_e), (v_k, v_e)
+    # cross term dvol dspot
+    x_k = h2(r_k, "spot", "volatility")
+    x_e = h2(r_e, "spot", "volatility")
+    assert abs(x_k - x_e) < 0.05 + 0.05 * abs(x_e), (x_k, x_e)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_sharded_controller_matches_unsharded():
+    """VERDICT r2 #2: the kernel gate no longer requires an unsharded book.
+    On the single-chip mesh the shard_map'd kernel (global-block seeding,
+    ops/pallas_shard.py) must reproduce the unsharded kernel stream exactly —
+    same rows_per_block, offset 0 — both forward and differentiated."""
+    from montecarlo_risk_engine_tpu.parallel.mesh import (
+        make_path_mesh,
+        path_sharding,
+    )
+
+    sh = path_sharding(make_path_mesh())
+
+    def build(sharded, differentiate):
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        return SimulationController(
+            netting_sets=[NettingSet(name="book", products=[option])],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=131_072, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+            differentiate=differentiate, use_pallas="auto",
+            path_sharding=sh if sharded else None,
+        )
+
+    for diff in (False, True):
+        c_sh = build(True, diff)
+        c_un = build(False, diff)
+        r_sh = c_sh.run_simulation()
+        r_un = c_un.run_simulation()
+        assert c_sh._pallas_active and c_un._pallas_active, diff
+        pv_sh = float(r_sh.get_results("book", "pv", evaluation_idx=0))
+        pv_un = float(r_un.get_results("book", "pv", evaluation_idx=0))
+        assert pv_sh == pv_un, (diff, pv_sh, pv_un)
+        if diff:
+            g_sh = r_sh.get_derivatives("book", "pv", evaluation_idx=0)
+            g_un = r_un.get_derivatives("book", "pv", evaluation_idx=0)
+            for k in g_sh:
+                assert float(g_sh[k]) == float(g_un[k]), (k, g_sh[k], g_un[k])
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_hybrid_cva_book_matches_engine():
+    """VERDICT r2 #6: CVA books on the hybrid BS+Vasicek+CIR++ model (the
+    north-star composition) now hit the kernel path — forward AND
+    differentiated (blockwise noise recovery).  Oracle: the XLA scan engine
+    on the same book, statistical agreement of CVA and its rates/equity
+    Greeks."""
+    import numpy as np_
+
+    from montecarlo_risk_engine_tpu import (
+        CIRPPModel,
+        CVAMetric,
+        EPEMetric,
+        InterestRateSwap,
+        IRSType,
+        ModelConfig,
+        VasicekModel,
+    )
+
+    def build(use_pallas, num_paths):
+        rates = VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.3, volatility=0.012,
+                             asset_id="irs")
+        equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22,
+                                   asset_id="eq")
+        credit = CIRPPModel(0.0, asset_id="cp",
+                            hazard_rates={1.0: 0.02, 3.0: 0.025, 5.0: 0.028},
+                            kappa=0.1, theta=0.01, volatility=0.02, y0=0.0001)
+        model = ModelConfig(
+            [rates, equity, credit],
+            inter_asset_correlation_matrix=[
+                np_.array([[0.25]]), np_.array([[0.4]]), np_.array([[0.15]]),
+            ],
+        )
+        products = [
+            InterestRateSwap(0.0, 3.0, notional=1.0, fixed_rate=0.03,
+                             tenor_fixed=0.5, tenor_float=0.5,
+                             irs_type=IRSType.PAYER, asset_id="irs"),
+            EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                           asset_id="eq"),
+        ]
+        ns = NettingSet(name="book", products=products, counterparty_id="cp")
+        return SimulationController(
+            netting_sets=[ns], model=model,
+            risk_metrics=RiskMetrics(
+                metrics=[CVAMetric(counterparty_id="cp", recovery_rate=0.4),
+                         EPEMetric()],
+                exposure_timeline=np_.linspace(0.25, 3.0, 12),
+            ),
+            num_paths_mainsim=num_paths, num_paths_presim=num_paths,
+            num_steps=1, simulation_scheme=SimulationScheme.EULER,
+            differentiate=True, use_pallas=use_pallas,
+        )
+
+    c_k = build("auto", 131_072)
+    r_k = c_k.run_simulation()
+    assert c_k._pallas_active, "hybrid model must be kernel-eligible now"
+
+    c_e = build(False, 65_536)
+    r_e = c_e.run_simulation()
+
+    cva_k = float(r_k.get_results("book", "cva[cp]", evaluation_idx=0))
+    cva_e = float(r_e.get_results("book", "cva[cp]", evaluation_idx=0))
+    se = float(np.hypot(
+        float(r_k.get_mc_error("book", "cva[cp]", evaluation_idx=0)),
+        float(r_e.get_mc_error("book", "cva[cp]", evaluation_idx=0)),
+    ))
+    assert abs(cva_k - cva_e) < 5 * se + 1e-4, (cva_k, cva_e, se)
+
+    g_k = r_k.get_derivatives("book", "cva[cp]", evaluation_idx=0)
+    g_e = r_e.get_derivatives("book", "cva[cp]", evaluation_idx=0)
+    for name in ("irs.rate", "eq.spot", "eq.volatility"):
+        a, b = float(g_k[name]), float(g_e[name])
+        assert np.isfinite(a) and np.isfinite(b), name
+        assert abs(a - b) < 0.15 * max(abs(a), abs(b), 1e-3) + 2e-3, (name, a, b)
