@@ -217,3 +217,82 @@ def test_numerical_netted_pv_matches_sum_of_components():
     pv_joint = float(joint.get_results("joint", "pv", evaluation_idx=0))
     # identical paths (same phase/seed) -> exact additivity
     assert pv_joint == pytest.approx(pv_sum, rel=1e-12)
+
+
+def test_analytic_exposure_metric_set_widened(monkeypatch):
+    """VERDICT r2 #9: the analytic pathwise exposure (closed-form BS
+    continuation per path) is valid for every exposure aggregation, so
+    ENE/CE/EEPE no longer force a European book onto LSM fits.  Oracle: the
+    same book with the analytic gate forced off (regression path) agrees
+    within fit error, and ENE of an always-positive option exposure is ~0."""
+    from montecarlo_risk_engine_tpu import CEMetric, EEPEMetric, ENEMetric
+
+    def build():
+        model = BlackScholesModel(0.0, 100.0, 0.03, 0.2, asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        return SimulationController(
+            netting_sets=[NettingSet(name="book", products=[option])],
+            model=model,
+            risk_metrics=RiskMetrics(
+                metrics=[EPEMetric(), ENEMetric(), CEMetric(), EEPEMetric()],
+                exposure_timeline=[0.5, 1.0, 1.5],
+            ),
+            num_paths_mainsim=8192,
+            num_paths_presim=8192,
+            num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
+
+    c_analytic = build()
+    option = c_analytic.products[0]
+    assert not c_analytic._product_requires_regression(option)
+    r_analytic = c_analytic.run_simulation()
+
+    c_lsm = build()
+    monkeypatch.setattr(
+        SimulationController, "_can_use_analytic_exposure_for_product",
+        lambda self, product: False,
+    )
+    assert c_lsm._product_requires_regression(c_lsm.products[0])
+    r_lsm = c_lsm.run_simulation()
+
+    for metric, n_evals in (("epe", 3), ("ene", 3), ("ce", 1), ("eepe", 1)):
+        for i in range(n_evals):
+            a = float(r_analytic.get_results("book", metric, evaluation_idx=i))
+            b = float(r_lsm.get_results("book", metric, evaluation_idx=i))
+            # regression-fit exposure carries basis error; loose band
+            assert abs(a - b) < 0.6 + 0.05 * abs(a), (metric, i, a, b)
+    # call-holder exposure is positive pathwise => ENE == 0 exactly on the
+    # analytic path
+    for i in range(3):
+        assert float(r_analytic.get_results("book", "ene", evaluation_idx=i)) == 0.0
+    # EEPE quirk Q6: plain time-average of the EE profile
+    epe_vals = [float(r_analytic.get_results("book", "epe", evaluation_idx=i))
+                for i in range(3)]
+    eepe = float(r_analytic.get_results("book", "eepe", evaluation_idx=0))
+    np.testing.assert_allclose(eepe, np.mean(epe_vals), rtol=1e-12)
+
+
+def test_analytical_evaluation_type_rejected_at_construction():
+    """VERDICT r2 weak #6: a non-PV metric with EvaluationType.ANALYTICAL
+    used to raise only at trace time inside the jit."""
+    from montecarlo_risk_engine_tpu import CEMetric
+    from montecarlo_risk_engine_tpu.metrics.metrics import EvaluationType
+
+    model = BlackScholesModel(0.0, 100.0, 0.03, 0.2, asset_id="eq")
+    option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                            asset_id="eq")
+    with pytest.raises(ValueError, match="ANALYTICAL.*PV|only supported"):
+        SimulationController(
+            netting_sets=[NettingSet(name="book", products=[option])],
+            model=model,
+            risk_metrics=RiskMetrics(
+                metrics=[CEMetric(evaluation_type=EvaluationType.ANALYTICAL)],
+                exposure_timeline=[0.5],
+            ),
+            num_paths_mainsim=64,
+            num_paths_presim=0,
+            num_steps=1,
+            simulation_scheme=SimulationScheme.ANALYTICAL,
+        )
