@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from montecarlo_risk_engine_tpu.ops.pallas_paths import (
     _LANES,
+    _compiler_params,
     _normal_pair,
     _seed_words,
 )
@@ -271,6 +272,7 @@ def hybrid_paths(
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]

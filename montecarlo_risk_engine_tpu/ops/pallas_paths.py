@@ -192,6 +192,7 @@ def heston_qe_paths(
             ),
         ),
         out_shape=(out_shape, out_shape),
+        compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     states = jnp.stack(
@@ -292,6 +293,7 @@ def vasicek_paths(
             ),
         ),
         out_shape=(out_shape, out_shape),
+        compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     return jnp.stack(
@@ -301,8 +303,18 @@ def vasicek_paths(
 
 
 # Per-block output budget: the whole [T*D, rows, 128] f32 emission block
-# lives in scoped VMEM (16MB limit) alongside the step temps.
+# lives in scoped VMEM alongside the step temps — and Mosaic DOUBLE-BUFFERS
+# the output window across grid steps, so the block counts twice.  The
+# default scoped limit is 16MB (a budgeted 8MB block + its double buffer +
+# temps overflowed it for wide-state hybrid kernels); v5e/v5p have 128MB of
+# physical VMEM per core, so every kernel raises the limit explicitly and
+# the 8MB budget keeps 2x8MB + temps comfortably inside it.
 _VMEM_BLOCK_BUDGET_BYTES = 8 << 20
+_VMEM_LIMIT_BYTES = 64 << 20
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def pick_rows_per_block(num_paths: int, preferred: int = 256,
@@ -421,6 +433,7 @@ def bs_multi_paths(
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]
