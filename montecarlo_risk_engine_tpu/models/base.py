@@ -144,13 +144,37 @@ class Model:
         raise NotImplementedError
 
     def supports_pallas_ad(self, scheme: SimulationScheme) -> bool:
-        """Whether the kernel path composes with AD for this scheme: the
-        transition must be noise-invertible (``invert_noise``) so the
-        custom-JVP tangent rule (ops/pallas_paths_ad.py) can re-derive the
-        step recurrence from the kernel's own draws.  False for Heston QE
-        (branch mixing loses the noise; differentiated QE books stay on the
-        smoothed XLA engine — the validated gradient contract)."""
+        """Whether the kernel path composes with AD for this scheme — either
+        the transition is noise-invertible (``invert_noise``, mode
+        ``"invert"``) or the kernel can emit its raw draws (mode ``"emit"``,
+        Heston QE) so the custom-JVP tangent rule (ops/pallas_paths_ad.py)
+        can re-derive the step recurrence from the kernel's own draws."""
         return False
+
+    def pallas_ad_mode(self, scheme: SimulationScheme) -> str:
+        """How the differentiable kernel wrapper obtains the step draws:
+        ``"invert"`` — recover them from consecutive emitted states
+        (recovered_noise_paths; default), ``"emit"`` — the kernel ships them
+        (emitted_noise_paths; non-invertible transitions, Heston QE)."""
+        return "invert"
+
+    def pallas_paths_with_noise(self, params, scheme, timeline,
+                                num_paths: int, seed: int, phase: int = 0,
+                                block_offset=0, rows_per_block=None):
+        """Noise-emitting kernel forward for ``pallas_ad_mode() == "emit"``:
+        states [T, N, D], raw normals [T, N, sim_dim], uniforms [T, N] at a
+        substep-dense timeline (one substep per point)."""
+        raise NotImplementedError
+
+    def pallas_emission_width(self, scheme: SimulationScheme,
+                              differentiate: bool) -> int:
+        """f32 values emitted to HBM per path per timeline point — the
+        eligibility gate's VMEM-block sizing input (api/controller.py
+        ``_decide_pallas``).  ``"emit"``-mode AD adds sim_dim normals and a
+        uniform per point on top of the state columns."""
+        if differentiate and self.pallas_ad_mode(scheme) == "emit":
+            return self.state_dim + self.simulation_dim + 1
+        return self.state_dim
 
     def invert_noise(self, params, scheme: SimulationScheme, t1, t2, state,
                      next_state):

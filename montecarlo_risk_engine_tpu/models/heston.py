@@ -82,7 +82,18 @@ class HestonModel(Model):
         return scheme == SimulationScheme.QE
 
     def supports_pallas_paths(self, scheme):
-        return scheme == SimulationScheme.QE and not self.perform_smoothing
+        # The kernel mirrors both branch modes: hard indicators forward-only,
+        # the fuzzy widths 0.3/0.5 when perform_smoothing (differentiation).
+        return scheme == SimulationScheme.QE
+
+    def supports_pallas_ad(self, scheme):
+        # QE is not noise-invertible (branch mixing + the extra uniform), but
+        # the kernel emits its raw draws and the emitted-noise tangent rule
+        # re-derives the smoothed recurrence (ops/pallas_paths_ad.py).
+        return scheme == SimulationScheme.QE
+
+    def pallas_ad_mode(self, scheme):
+        return "emit"
 
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
@@ -101,6 +112,32 @@ class HestonModel(Model):
             params, timeline, num_paths, num_steps,
             seed=seed, phase=phase, block_offset=block_offset,
             calibration_date=self.calibration_date, rows_per_block=rows,
+            smoothing=self.perform_smoothing,
+        )
+
+    def pallas_paths_with_noise(self, params, scheme, timeline, num_paths,
+                                seed, phase=0, block_offset=0,
+                                rows_per_block=None):
+        """Noise-emitting QE kernel forward for the emitted-noise AD wrapper:
+        (states [T, N, 2], z [T, N, 2], u [T, N]) at a substep-dense
+        timeline."""
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            heston_qe_paths,
+            pick_rows_per_block,
+        )
+
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths,
+            outputs_per_path=self.pallas_emission_width(scheme, True)
+            * len(timeline),
+        )
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        return heston_qe_paths(
+            params, timeline, num_paths, 1,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+            smoothing=self.perform_smoothing, emit_noise=True,
         )
 
     def step_euler(self, params, t1, t2, state, corr_noise):

@@ -74,11 +74,18 @@ def _normal_pair(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho, kappa, theta):
+def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho, kappa, theta,
+                       smoothing: bool = False):
     """One Andersen-QE update — same math as HestonModel.step_qe
     (models/heston.py), specialised to f32 VPU arrays.  Model parameters are
     f32 scalars read from SMEM (traced — the controller pipeline jits over
-    them), dt is a compile-time constant."""
+    them), dt is a compile-time constant.
+
+    ``smoothing`` mirrors the model's fuzzy branch indicators (mass-at-zero
+    width 0.3, psi-switch width 0.5 — symmetric_linear_smoothing in
+    utils/maths.py) so a differentiated kernel run produces the SAME smoothed
+    trajectory the XLA engine's validated AAD contract uses; False keeps the
+    hard branches of the forward-only speed path."""
     eps = 1e-12
     ekt = jnp.exp(-kappa * dt)
 
@@ -98,9 +105,14 @@ def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho, kappa, theta
     p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-6)
     beta = (1.0 - p) / (m + eps)
     v_tail = jnp.log(jnp.maximum(1.0 - p, eps) / jnp.maximum(1.0 - u, eps)) / (beta + eps)
-    v_exp = jnp.where(u > p, v_tail, 0.0)
-
-    v_next = jnp.where(psi > 1.5, v_exp, v_quad)
+    if smoothing:
+        w_mass = jnp.clip((u - p + 0.3) / 0.6, 0.0, 1.0)
+        v_exp = w_mass * v_tail
+        w = jnp.clip((psi - 1.5 + 0.5) / 1.0, 0.0, 1.0)
+        v_next = (1.0 - w) * v_quad + w * v_exp
+    else:
+        v_exp = jnp.where(u > p, v_tail, 0.0)
+        v_next = jnp.where(psi > 1.5, v_exp, v_quad)
 
     gamma1 = 1.0
     k0 = -rho * kappa * theta / sigma * dt
@@ -124,13 +136,26 @@ def heston_qe_paths(
     block_offset=0,
     calibration_date: float = 0.0,
     rows_per_block: int = 256,
+    smoothing: bool = False,
+    emit_noise: bool = False,
 ):
     """Generate Heston QE states at timeline points: returns [T, N, 2] f32.
 
     num_paths must be a multiple of rows_per_block * 128.  ``params`` may be
     traced (the controller's jitted pipeline is a function of the flat model
     parameters): the seven scalars ride into the kernel through SMEM.
+
+    ``emit_noise=True`` (requires ``num_steps == 1`` — the AD wrapper's
+    substep-dense timeline) additionally returns the per-step raw draws
+    ``(z [T, N, 2], u [T, N])`` so the emitted-noise tangent rule
+    (ops/pallas_paths_ad.emitted_noise_paths) can re-derive the smoothed QE
+    recurrence in XLA — the QE transition is NOT noise-invertible (branch
+    mixing and the extra uniform), so unlike the invertible models the
+    kernel must ship its own draws.  Zero-dt points emit zero draws.
     """
+    if emit_noise and num_steps != 1:
+        raise ValueError("emit_noise requires the substep-dense timeline "
+                         "(num_steps == 1)")
     params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
     block_paths = rows_per_block * _LANES
     if num_paths % block_paths:
@@ -146,7 +171,7 @@ def heston_qe_paths(
         t_prev = t
     num_points = len(points)
 
-    def kernel(seed_ref, p_ref, logs_ref, v_ref):
+    def kernel(seed_ref, p_ref, logs_ref, v_ref, *noise_refs):
         block = pl.program_id(0)
         # two independent seed words (Mosaic's limit): phase-distinct word 0,
         # global block (= offset + local block under shard_map) as word 1 --
@@ -167,39 +192,47 @@ def heston_qe_paths(
                     log_s, v = _heston_qe_substep(
                         log_s, v, z_s, z_v, u, dt,
                         sigma, rate, rho, kappa, theta,
+                        smoothing=smoothing,
                     )
+                if emit_noise:
+                    zs_ref, zv_ref, u_ref = noise_refs
+                    zs_ref[point] = z_s
+                    zv_ref[point] = z_v
+                    u_ref[point] = u
+            elif emit_noise:
+                zs_ref, zv_ref, u_ref = noise_refs
+                zero = jnp.zeros(shape, jnp.float32)
+                zs_ref[point] = zero
+                zv_ref[point] = zero
+                u_ref[point] = zero
             logs_ref[point] = log_s
             v_ref[point] = v
 
     out_shape = jax.ShapeDtypeStruct((num_points, total_rows, _LANES), jnp.float32)
-    logs, vs = pl.pallas_call(
+    block_spec = pl.BlockSpec(
+        (num_points, rows_per_block, _LANES),
+        lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    n_out = 5 if emit_noise else 2
+    outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (num_points, rows_per_block, _LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (num_points, rows_per_block, _LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(out_shape, out_shape),
+        out_specs=(block_spec,) * n_out,
+        out_shape=(out_shape,) * n_out,
         compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
-    states = jnp.stack(
-        [logs.reshape(num_points, num_paths), vs.reshape(num_points, num_paths)],
-        axis=-1,
-    )
-    return states
+    flat = [o.reshape(num_points, num_paths) for o in outs]
+    states = jnp.stack(flat[:2], axis=-1)
+    if not emit_noise:
+        return states
+    z = jnp.stack(flat[2:4], axis=-1)  # [T, N, 2] standard normals
+    return states, z, flat[4]
 
 
 def vasicek_paths(

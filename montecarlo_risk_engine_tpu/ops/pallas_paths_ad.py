@@ -177,3 +177,75 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
         return paths_dense(params)[idx]
 
     return paths
+
+
+def emitted_noise_paths(model, scheme, timeline, num_paths: int,
+                        num_steps: int, forward_fn):
+    """Differentiable path states for NON-invertible transitions (Heston QE).
+
+    ``forward_fn(params) -> (states [T', N, D], z [T', N, sim_dim],
+    u [T', N])`` runs the noise-emitting kernel on the substep-dense timeline
+    (ops/pallas_paths.heston_qe_paths with ``emit_noise=True``): QE branch
+    mixing plus the extra uniform make the transition non-invertible, so the
+    kernel ships its own raw draws instead of the inversion used by
+    :func:`recovered_noise_paths`.  The tangent rule freezes the emitted
+    draws (they are parameter-independent by construction — the correct
+    higher-order semantics too) and re-derives the step recurrence in XLA
+    via ``jax.jvp`` of a reconstruction scan over ``model.step`` — with
+    ``model.perform_smoothing`` set, the smoothed-branch trajectory and its
+    derivative, the engine's validated QE gradient contract (reference
+    heston.py:227-236).
+
+    The kernel's forward must run the SAME smoothed step for the primal and
+    reconstruction trajectories to coincide (heston_qe_paths
+    ``smoothing=True``).
+    """
+    dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
+
+    @jax.custom_jvp
+    def paths_dense(params):
+        return forward_fn(params)
+
+    @paths_dense.defjvp
+    def paths_dense_jvp(primals, tangents):
+        (params,), (dparams,) = primals, tangents
+        states, z, u = paths_dense(params)  # recursion-safe under nesting
+        dtype = states.dtype
+        t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
+        live = dt_arr > 0.0
+        dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
+        z = jax.lax.stop_gradient(z)
+        u = jax.lax.stop_gradient(u)
+
+        def reconstruct(p):
+            # Engine-scan mirror at the kernel's own draws (no RNG): its jvp
+            # is the exact pathwise tangent of the smoothed QE trajectory.
+            state0 = model.init_state(p, num_paths).astype(dtype)
+
+            def body(state, xs):
+                t1, dts, is_live, z_step, u_step = xs
+                # QE leaves the driver normals uncorrelated (correlation
+                # enters through the K coefficients — models/heston.py), so
+                # the emitted z IS the corr_noise; reapply the (identity)
+                # transform anyway for generality with other schemes.
+                noise = z_step @ model.noise_transform(p, scheme, dts).T.astype(dtype)
+                new = model.step(p, scheme, t1, t1 + dts, state, noise,
+                                 uniform=u_step)
+                new = jnp.where(is_live, new, state)
+                return new, new
+
+            _, ys = jax.lax.scan(
+                body, state0, (t_prev_arr, dt_safe, live, z, u)
+            )
+            return ys
+
+        d_states = jax.jvp(reconstruct, (params,), (dparams,))[1]
+        zero = jnp.zeros_like(z), jnp.zeros_like(u)
+        return (states, z, u), (d_states, *zero)
+
+    idx = np.asarray(orig_idx)  # host constant — see recovered_noise_paths
+
+    def paths(params):
+        return paths_dense(params)[0][idx]
+
+    return paths

@@ -121,3 +121,50 @@ def sharded_pallas_paths(model, params, scheme, timeline, num_paths: int,
 
     return shard_paths_over_mesh(path_fn, params, sharding, num_paths,
                                  rows * _LANES)
+
+
+def sharded_pallas_paths_with_noise(model, params, scheme, timeline,
+                                    num_paths: int, seed: int, phase: int,
+                                    sharding: NamedSharding,
+                                    outputs_per_path: int):
+    """Noise-emitting kernel forward sharded over the mesh, for the
+    emitted-noise AD wrapper (``pallas_ad_mode() == "emit"``): returns
+    (states [T, N, D], z [T, N, sim], u [T, N]) each sharded on the path
+    axis.  Same global-block seeding contract as sharded_pallas_paths."""
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+        _LANES,
+        pick_rows_per_block,
+    )
+
+    mesh = sharding.mesh
+    axis = _path_axis(sharding)
+    n_dev = int(mesh.shape[axis])
+    if num_paths % n_dev:
+        raise ValueError(f"num_paths {num_paths} not divisible by {n_dev} devices")
+    local_paths = num_paths // n_dev
+    rows = pick_rows_per_block(local_paths, outputs_per_path=outputs_per_path)
+    if rows is None:
+        raise ValueError(
+            f"per-device path count {local_paths} not blockable for Pallas"
+        )
+    blocks_per_dev = local_paths // (rows * _LANES)
+
+    def local_fn(p):
+        offset = jax.lax.axis_index(axis) * blocks_per_dev
+        return model.pallas_paths_with_noise(
+            p, scheme, timeline, local_paths,
+            seed=seed, phase=phase, block_offset=offset, rows_per_block=rows,
+        )
+
+    out_specs = (
+        PartitionSpec(None, axis, None),  # states [T, N, D]
+        PartitionSpec(None, axis, None),  # z [T, N, sim]
+        PartitionSpec(None, axis),        # u [T, N]
+    )
+    try:
+        smap = shard_map(local_fn, mesh=mesh, in_specs=(PartitionSpec(),),
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax
+        smap = shard_map(local_fn, mesh=mesh, in_specs=(PartitionSpec(),),
+                         out_specs=out_specs)
+    return smap(params)

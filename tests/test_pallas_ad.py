@@ -76,6 +76,25 @@ def _models():
             ),
             SimulationScheme.EULER,
         ),
+        "hybrid_multi": (
+            # round-3: BlackScholesMulti as a hybrid kernel block (intra
+            # correlation folds into the static joint factor)
+            ModelConfig(
+                [
+                    BlackScholesMulti(
+                        0.0, spots=[95.0, 105.0], volatilities=[0.2, 0.3],
+                        rate=0.02,
+                        correlation_matrix=[[1.0, 0.5], [0.5, 1.0]],
+                        asset_ids=["a", "b"],
+                    ),
+                    VasicekModel(0.0, rate=0.03, mean=0.045,
+                                 mean_reversion_speed=0.3, volatility=0.012,
+                                 asset_id="irs"),
+                ],
+                inter_asset_correlation_matrix=[np.array([[0.3], [0.1]])],
+            ),
+            SimulationScheme.EULER,
+        ),
     }
 
 
@@ -101,7 +120,8 @@ def _wrap_and_direct(model, scheme):
     return wrapped, direct
 
 
-@pytest.mark.parametrize("name", ["bs", "bs_multi", "vasicek", "cirpp", "hybrid"])
+@pytest.mark.parametrize("name", ["bs", "bs_multi", "vasicek", "cirpp", "hybrid",
+                                  "hybrid_multi"])
 def test_recovered_noise_tangent_matches_direct_ad(name):
     model, scheme = _models()[name]
     wrapped, direct = _wrap_and_direct(model, scheme)
@@ -159,6 +179,71 @@ def test_recovered_noise_second_order_matches():
     for row_w, row_d in zip(h_w, h_d):
         for a, b in zip(row_w, row_d):
             np.testing.assert_allclose(float(a), float(b), rtol=1e-7, atol=1e-9)
+
+
+def test_emitted_noise_tangent_matches_direct_ad():
+    """Heston QE — non-invertible transition, so the kernel ships its draws
+    (emit mode).  The emitted-noise rule must agree EXACTLY with jacfwd
+    straight through the same smoothed scan at the same frozen draws."""
+    from montecarlo_risk_engine_tpu import HestonModel
+    from montecarlo_risk_engine_tpu.ops.pallas_paths_ad import (
+        emitted_noise_paths,
+    )
+
+    model = HestonModel(0.0, spot=100.0, rate=0.03, sigma=0.5, rho=-0.7,
+                        kappa=2.0, theta=0.06, v0=0.04, asset_id="eq")
+    model.requires_grad()  # fuzzy branches — the validated QE AAD contract
+    scheme = SimulationScheme.QE
+    dense, idx = dense_timeline(model.calibration_date, TIMELINE, NUM_STEPS)
+
+    kz, ku = jax.random.split(jax.random.PRNGKey(11))
+    z = jax.random.normal(kz, (len(dense), NUM_PATHS, 2))
+    u = jax.random.uniform(ku, (len(dense), NUM_PATHS))
+
+    def run_scan(params):
+        t_prev = model.calibration_date
+        state = model.init_state(params, NUM_PATHS)
+        outs = []
+        for i, t in enumerate(dense):
+            if t > t_prev:
+                state = model.step(params, scheme, t_prev, t, state, z[i],
+                                   uniform=u[i])
+            outs.append(state)
+            t_prev = t
+        return jnp.stack(outs)
+
+    wrapped = emitted_noise_paths(
+        model, scheme, TIMELINE, NUM_PATHS, NUM_STEPS,
+        lambda p: (run_scan(p), z, u),
+    )
+    direct = lambda p: run_scan(p)[np.asarray(idx)]
+    params = model.initial_params()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(wrapped)(params)),
+        np.asarray(jax.jit(direct)(params)), rtol=1e-12, atol=1e-12,
+    )
+
+    def summary(fn):
+        def f(p):
+            s = fn(p)
+            w = 1.0 + 0.1 * jnp.arange(s.size, dtype=s.dtype).reshape(s.shape)
+            return jnp.mean(s * w)
+        return f
+
+    g_w = jax.jit(jax.jacfwd(summary(wrapped)))(params)
+    g_d = jax.jit(jax.jacfwd(summary(direct)))(params)
+    for a, b, pname in zip(g_w, g_d, model.get_model_param_names()):
+        np.testing.assert_allclose(
+            float(a), float(b), rtol=1e-8, atol=1e-10, err_msg=f"qe.{pname}"
+        )
+
+    # reverse mode and second order nest through the same rule
+    sq = lambda fn: (lambda p: jnp.mean(fn(p) ** 2))
+    g_w = jax.jit(jax.grad(sq(wrapped)))(params)
+    g_d = jax.jit(jax.grad(sq(direct)))(params)
+    for a, b in zip(g_w, g_d):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-8, atol=1e-10)
 
 
 def test_dense_timeline_mapping():

@@ -246,6 +246,76 @@ def test_pallas_differentiated_second_order_matches_engine_aad():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_differentiated_heston_qe_grads_match_crn_fd():
+    """Round-3: QE books differentiate on the kernel path too — the
+    noise-emitting kernel variant ships its raw draws and the emitted-noise
+    tangent rule re-derives the smoothed recurrence (pallas_ad_mode
+    "emit").  Oracles: (a) value vs the CF price within MC error + smoothing
+    bias room; (b) AAD vs central common-random-number FD of the SAME kernel
+    stream (draws depend only on (seed, phase, block), so FD is
+    pathwise-exact of the smoothed map up to O(h^2))."""
+    n = 262_144
+    model_kw = dict(spot=100.0, rate=0.03, sigma=0.5, rho=-0.7, kappa=2.0,
+                    theta=0.06, v0=0.04)
+
+    def build(use_pallas, num_paths):
+        model = HestonModel(0.0, asset_id="eq", **model_kw)
+        option = EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        return option, SimulationController(
+            netting_sets=[NettingSet(name="book", products=[option])],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=num_paths, num_paths_presim=0, num_steps=8,
+            simulation_scheme=SimulationScheme.QE,
+            differentiate=True, use_pallas=use_pallas,
+        )
+
+    option, c = build("auto", n)
+    r = c.run_simulation()
+    assert c._pallas_active, "differentiated QE books must be kernel-eligible"
+
+    pv = float(r.get_results("book", "pv", evaluation_idx=0))
+    se = float(r.get_mc_error("book", "pv", evaluation_idx=0))
+    ref = float(option.compute_pv_analytically_heston(
+        HestonModel(0.0, asset_id="eq", **model_kw)))
+    # QE discretisation bias + fuzzy-branch smoothing bias room
+    assert abs(pv - ref) < 4 * se + 0.1, (pv, ref)
+
+    grads = r.get_derivatives("book", "pv", evaluation_idx=0)
+
+    # Oracle 1: the XLA scan engine's AAD on the same book — the validated
+    # smoothed-QE gradient contract; different (equally valid) stream, so
+    # statistical agreement.
+    _, c_e = build(False, 131_072)
+    r_e = c_e.run_simulation()
+    assert not c_e._pallas_active
+    g_e = r_e.get_derivatives("book", "pv", evaluation_idx=0)
+    for name in c.model.get_model_param_names():
+        a, b = float(grads[name]), float(g_e[name])
+        # independent streams: rho/kappa grads carry ~0.03-0.05 SE at these
+        # path counts (each stream's AAD agrees with its OWN CRN FD below)
+        assert abs(a - b) < 0.12 * max(abs(a), abs(b), 0.1) + 0.02, (name, a, b)
+
+    # Oracle 2: central common-random-number FD of the SAME kernel stream
+    # (draws depend only on (seed, phase, block)).  Sanity band only: the
+    # f32 pipeline's FD cancellation noise and the fuzzy-branch kink
+    # crossings (widths 0.3/0.5) leave ~1% wobble at h=1e-2 (measured:
+    # AAD is stable, FD oscillates around it as h varies).
+    params = tuple(c.model.initial_params())
+    for j, name in enumerate(c.model.get_model_param_names()):
+        h = 1e-2 * max(1.0, abs(float(params[j])))
+        bump = lambda s: tuple(
+            p + (s * h if k == j else 0.0) for k, p in enumerate(params)
+        )
+        up, _ = c._jitted_values(bump(+1))
+        dn, _ = c._jitted_values(bump(-1))
+        fd = (float(up[0]) - float(dn[0])) / (2 * h)
+        aad = float(grads[name])
+        assert abs(aad - fd) < 1e-2 * max(1.0, abs(fd)) + 1e-2, (name, aad, fd)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
 def test_pallas_sharded_controller_matches_unsharded():
     """VERDICT r2 #2: the kernel gate no longer requires an unsharded book.
     On the single-chip mesh the shard_map'd kernel (global-block seeding,
