@@ -214,6 +214,9 @@ class ModelConfig(Model):
         from montecarlo_risk_engine_tpu.models.black_scholes import (
             BlackScholesModel,
         )
+        from montecarlo_risk_engine_tpu.models.black_scholes_multi import (
+            BlackScholesMulti,
+        )
         from montecarlo_risk_engine_tpu.models.cirpp import CIRPPModel
         from montecarlo_risk_engine_tpu.models.vasicek import VasicekModel
         from montecarlo_risk_engine_tpu.ops.pallas_hybrid import KernelBlock
@@ -224,6 +227,10 @@ class ModelConfig(Model):
             n_par = len(m.initial_params())
             if type(m) is BlackScholesModel:
                 blocks.append(KernelBlock("bs", "euler", base, 1, 1))
+            elif type(m) is BlackScholesMulti:
+                blocks.append(KernelBlock(
+                    "bs_multi", "euler", base, m.num_assets, m.num_assets,
+                ))
             elif type(m) is VasicekModel:
                 blocks.append(KernelBlock("vasicek", "euler", base, 2, 1))
             elif type(m) is CIRPPModel:
@@ -240,13 +247,21 @@ class ModelConfig(Model):
 
     def _static_joint_correlation(self):
         """Host-side mirror of correlation_matrix: for the kernel-supported
-        block set every intra correlation is an identity and inter blocks are
-        user config, so the joint factor is compile-time constant."""
+        block set every intra correlation is static configuration (identity
+        for the single-factor blocks, the user matrix for BlackScholesMulti)
+        and inter blocks are user config, so the joint factor is compile-time
+        constant."""
+        from montecarlo_risk_engine_tpu.models.black_scholes_multi import (
+            BlackScholesMulti,
+        )
+
         dim = self.simulation_dim
         corr = np.eye(dim)
         pair_idx = 0
         for i in range(len(self.models)):
             r0, r1 = self._sim_offsets[i], self._sim_offsets[i + 1]
+            if isinstance(self.models[i], BlackScholesMulti):
+                corr[r0:r1, r0:r1] = self.models[i]._corr
             for j in range(i + 1, len(self.models)):
                 c0, c1 = self._sim_offsets[j], self._sim_offsets[j + 1]
                 block = self._inter_corr[pair_idx]

@@ -49,10 +49,11 @@ from montecarlo_risk_engine_tpu.ops.pallas_paths import (
 class KernelBlock:
     """One sub-model's slice of the joint kernel.
 
-    kind: "bs" | "vasicek" | "cirpp" | "cirpp_det"
+    kind: "bs" | "bs_multi" | "vasicek" | "cirpp" | "cirpp_det"
     scheme: "exact" | "euler" (cirpp: euler only; cirpp_det: no noise)
     param_base: offset of the block's parameters in the flat SMEM vector
-    n_state / n_sim: state and driver-noise widths
+    n_state / n_sim: state and driver-noise widths (bs_multi: both =
+        num_assets, params [spots..., vols..., rate] per BlackScholesMulti)
     hazard_tenors / hazard_rates: static market hazard curve (cirpp only)
     """
 
@@ -149,6 +150,17 @@ def hybrid_paths(
                     cols.append([jnp.zeros(shape, jnp.float32) + jnp.log(spot)])
                 else:
                     cols.append([jnp.zeros(shape, jnp.float32) + spot])
+            elif b.kind == "bs_multi":
+                if b.scheme == "exact":
+                    cols.append([
+                        jnp.zeros(shape, jnp.float32) + jnp.log(p_ref[base + d])
+                        for d in range(b.n_state)
+                    ])
+                else:
+                    cols.append([
+                        jnp.zeros(shape, jnp.float32) + p_ref[base + d]
+                        for d in range(b.n_state)
+                    ])
             elif b.kind == "vasicek":
                 r0 = p_ref[base]
                 cols.append([
@@ -206,6 +218,24 @@ def hybrid_paths(
                         else:
                             s = s * (1.0 + rate * dt) + sigma * s * sqrt_dt * w
                         cols[bi] = [s]
+                    elif b.kind == "bs_multi":
+                        # params [spots..., vols..., rate]; each asset's
+                        # (already jointly correlated) driver is ws[noff+d]
+                        n = b.n_state
+                        rate = p_ref[base + 2 * n]
+                        new_cols = []
+                        for d in range(n):
+                            sigma = p_ref[base + n + d]
+                            s = cols[bi][d]
+                            w_d = ws[noff + d]
+                            if b.scheme == "exact":
+                                s = s + (rate - 0.5 * sigma * sigma) * dt \
+                                    + sigma * sqrt_dt * w_d
+                            else:
+                                s = s * (1.0 + rate * dt) \
+                                    + sigma * s * sqrt_dt * w_d
+                            new_cols.append(s)
+                        cols[bi] = new_cols
                     elif b.kind == "vasicek":
                         _, sigma, theta, a = (
                             p_ref[base], p_ref[base + 1],
@@ -250,7 +280,7 @@ def hybrid_paths(
             col_idx = 0
             for bi, b in enumerate(blocks):
                 for c in cols[bi]:
-                    if b.kind == "bs" and b.scheme == "exact":
+                    if b.kind in ("bs", "bs_multi") and b.scheme == "exact":
                         out_ref[point, col_idx] = jnp.exp(c)
                     else:
                         out_ref[point, col_idx] = c

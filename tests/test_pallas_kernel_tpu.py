@@ -120,6 +120,46 @@ def test_bs_multi_correlation_and_martingale():
     assert np.max(np.abs(emp - corr)) < 0.02
 
 
+def test_hybrid_kernel_bs_multi_block_joint_law():
+    """Round-3: BlackScholesMulti as a hybrid kernel block.  The intra-asset
+    correlation folds into the static joint Cholesky next to the inter-model
+    config blocks; realized log-return correlations must match both."""
+    from montecarlo_risk_engine_tpu import (
+        BlackScholesMulti,
+        ModelConfig,
+        SimulationScheme,
+        VasicekModel,
+    )
+
+    multi = BlackScholesMulti(
+        0.0, spots=[95.0, 105.0], volatilities=[0.2, 0.3], rate=0.02,
+        correlation_matrix=[[1.0, 0.5], [0.5, 1.0]], asset_ids=["a", "b"],
+    )
+    rates = VasicekModel(0.0, rate=0.03, mean=0.045,
+                         mean_reversion_speed=0.05, volatility=0.012,
+                         asset_id="irs")
+    model = ModelConfig([multi, rates],
+                        inter_asset_correlation_matrix=[np.array([[0.3], [0.1]])])
+    assert model.supports_pallas_paths(SimulationScheme.EULER)
+
+    n = 262_144
+    states = np.asarray(model.pallas_paths(
+        model.initial_params(), SimulationScheme.EULER, (0.25,), n, 4, seed=9,
+    ))  # [1, N, 4] = [S_a, S_b, r, log_B]
+    s_a, s_b, r = states[0, :, 0], states[0, :, 1], states[0, :, 2]
+    ret_a = np.log(s_a / 95.0)
+    ret_b = np.log(s_b / 105.0)
+    dr = r - 0.03
+    assert abs(np.corrcoef(ret_a, ret_b)[0, 1] - 0.5) < 0.03
+    # OU weighting decays the realized correlation slightly (a dt small here)
+    assert abs(np.corrcoef(ret_a, dr)[0, 1] - 0.3) < 0.04
+    assert abs(np.corrcoef(ret_b, dr)[0, 1] - 0.1) < 0.04
+    # Euler drift: E[S_T] = S_0 (1 + r dt)^k ~ S_0 e^{rT}
+    for s0, s_t in ((95.0, s_a), (105.0, s_b)):
+        se = s_t.std() / np.sqrt(n)
+        assert abs(s_t.mean() - s0 * np.exp(0.02 * 0.25)) < 5 * se + 0.01 * s0
+
+
 def test_phase_streams_never_collide_across_blocks():
     """Regression (ADVICE round 2, high): with the old packed seed
     ((root<<1)|phase) + per-block offset, main-sim block b replayed pre-sim
