@@ -164,6 +164,10 @@ class SimulationController:
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
         self.grad_chunk_size = int(grad_chunk_size)
+        # _decide_pallas may shrink this so the kernel-AD tangent buffers fit
+        # the device AD budget (narrower chunks beat falling back to the
+        # slower scan engine); the jacobian drivers read the effective value.
+        self._grad_chunk_effective = int(grad_chunk_size)
         if grad_mode not in ("auto", "fwd", "rev"):
             raise ValueError("grad_mode must be 'auto', 'fwd' or 'rev'")
         self.grad_mode = grad_mode
@@ -1275,7 +1279,7 @@ class SimulationController:
         the reference's per-value autograd loop (controller.py:609-627) at a
         configurable memory/latency point.
         """
-        chunk = max(1, int(self.grad_chunk_size))
+        chunk = max(1, int(self._grad_chunk_effective))
 
         def jac(p):
             values, vjp = jax.vjp(fn, p)
@@ -1299,7 +1303,7 @@ class SimulationController:
         [T, P, N, D] states tangents are 18GB at 1M paths).  Chunking caps
         that at [T, chunk, N, D] per sequential forward sweep.
         """
-        chunk = max(1, int(self.grad_chunk_size))
+        chunk = max(1, int(self._grad_chunk_effective))
 
         def jac(p):
             n = len(p)
@@ -1307,11 +1311,21 @@ class SimulationController:
                 jnp.asarray(np.eye(n)[:, j], dtype=jnp.result_type(p[j]))
                 for j in range(n)
             )  # per-leaf [P] tangent columns
+            # linearize ONCE, then map the LINEAR function over the tangent
+            # basis: the primal pipeline (including any Pallas path kernel)
+            # runs a single time per grads program instead of once per chunk,
+            # and the mapped body is linear/pallas-free.  The latter also
+            # matters for correctness on TPU: two kernel-bearing jvp
+            # instances at DIFFERENT vmap widths in one program (a full
+            # chunk + lax.map's remainder batch) fault the device (Mosaic;
+            # isolated on v5e — widths 8 and 3 each pass alone, together
+            # they fault), so the kernel must stay out of the mapped body.
             # lax.map (not a Python loop) so the sequential sweeps REUSE
             # buffers: an unrolled chunk loop keeps every sweep's tangent
             # stack live at once (84.8GB at 1M paths for 12 params).
+            _, lin = jax.linearize(fn, p)
             rows = jax.lax.map(
-                lambda tb: jax.jvp(fn, (p,), (tb,))[1],
+                lin,
                 basis,
                 batch_size=chunk if chunk > 1 else None,
             )  # [P, V]
@@ -1565,14 +1579,39 @@ class SimulationController:
             )
         )
         if eligible and self.differentiate:
-            # The AD wrapper materialises the substep-dense f32 plane plus
-            # reconstruct-jvp temps (~3x plane per tangent sweep measured on
-            # v5e); past the device AD budget the streaming XLA engine is the
-            # safer path.
-            dense_bytes = outputs * 4 * max(self.num_paths_mainsim,
-                                            self.num_paths_presim)
+            # AD-wrapper peak memory (coarse-boundary layout,
+            # ops/pallas_paths_ad.py): the dense primal plane + its shifted
+            # copy + recovered normals live once; each tangent chunk adds
+            # COARSE-sized reconstruction buffers (primal + chunk tangents).
+            # 2x slack for XLA temps/remat copies.  Past the device AD budget
+            # the streaming XLA engine is the safer path.  (The pre-redesign
+            # estimate missed the chunked dense tangent planes and OOMed a
+            # 1M-path x 57-dense-point book on 16GB.)
+            n = max(self.num_paths_mainsim, self.num_paths_presim)
+            width = self.model.pallas_emission_width(
+                self.simulation_scheme, True
+            )
+            t_dense = len(self.simulation_timeline) * max(1, self.num_steps)
+            dense_bytes = t_dense * width * 4 * n
+            coarse_bytes = (
+                len(self.simulation_timeline) * self.model.state_dim * 4 * n
+            )
+            fixed = (
+                2 * dense_bytes
+                + t_dense * self.model.simulation_dim * 4 * n
+            )
             _, ad_budget = self._auto_memory_budgets()
-            eligible = 4 * dense_bytes <= ad_budget
+            # Shrink the tangent chunk until the per-sweep buffers fit: a
+            # narrower chunk costs extra sequential sweeps but keeps kernel
+            # throughput, which beats falling back to the scan engine.
+            chunk = max(1, int(self.grad_chunk_size))
+            while chunk >= 1:
+                if 2 * (fixed + (1 + chunk) * coarse_bytes) <= ad_budget:
+                    break
+                chunk //= 2
+            eligible = chunk >= 1
+            if eligible:
+                self._grad_chunk_effective = chunk
         if self.use_pallas is True and not eligible:
             raise ValueError(
                 "use_pallas=True but the configuration is not kernel-eligible "

@@ -5,35 +5,41 @@ forward-only, so every differentiated book — the flagship xVA-Greeks workload
 replacing the reference's autograd loops (reference
 src/controller/controller.py:609-648) — fell back to the ~2x slower XLA scan
 engine.  This module composes the kernels with JAX AD without a Pallas
-tangent kernel and without emitting any noise from the device:
+tangent kernel:
 
   1. **Forward** runs the hardware-PRNG kernel on a *substep-dense* timeline
      (every substep boundary becomes an emission point, ``num_steps=1`` per
      dense interval) — the same draw sequence the coarse kernel consumes, so
      the trajectory law is identical, and every per-substep state is visible.
-  2. **Tangent** recovers the step noise from consecutive emitted states by
-     inverting the transition map (``Model.invert_noise``; exact for the
-     schemes whose kernels exist: log-ratio for GBM, OU residual for Vasicek,
-     Euler residual for CIR++), freezes it with ``stop_gradient``, and
-     re-derives the step recurrence in pure XLA via ``jax.jvp`` of a
-     reconstruction scan.  Since states = Step(params, noise) with noise
-     param-independent by construction, the tangent of the reconstruction at
-     the recovered noise IS the exact pathwise derivative of the kernel's
-     own trajectory — no finite differences, no second stream.
+  2. **Tangent** obtains the per-substep standard driver normals — either by
+     inverting the transition map from consecutive emitted states
+     (``Model.invert_noise`` + a triangular solve against the noise
+     transform; BS/Vasicek/CIR++ and hybrids), or from draws the kernel
+     itself emits (Heston QE, whose branch mixing is not invertible) —
+     freezes them with ``stop_gradient``, and re-derives the step recurrence
+     in pure XLA via ``jax.jvp`` of a reconstruction scan.  Since
+     states = Step(params, noise) with noise param-independent by
+     construction, the tangent of the reconstruction at the recovered noise
+     IS the exact pathwise derivative of the kernel's own trajectory.
+
+Memory layout (round-3 redesign, after an HBM OOM at 1M paths x 57 dense
+points x 8-wide tangent chunks): the custom-JVP boundary sits at the COARSE
+timeline.  The tangent-side reconstruction scan emits ONLY the mapped coarse
+points, writing each substep state into a [T_coarse, N, D] carry buffer
+(``dynamic_update_slice`` on the scan carry updates in place; the interval's
+endpoint write lands last, so no masks are needed).  Dense-sized arrays
+under AD are just the one primal plane and the recovered normals — never
+per-tangent dense planes.  The kernel forward itself is wrapped AD-opaque
+(zero-tangent custom_jvp) so the draws' parameter-independence is explicit
+and jvp-of-jvp nesting (Hessian row dispatch, controller.py) never tries to
+differentiate through ``pallas_call``.
 
 The reconstruction scan runs no RNG (the expensive ~75% of the XLA engine's
 step cost), so a differentiated kernel run pays kernel-rate forward plus a
-cheap elementwise tangent sweep.  The rule calls the wrapped function for its
-primal, so ``jvp``-of-``jvp`` (Hessian rows, controller.py per-parameter row
-dispatch) nests correctly; ``stop_gradient`` on the recovered noise is the
-true higher-order semantics as well (the noise is constant in params).
-
-Scope: models/schemes with an invertible single-noise transition —
-BS / BS-multi (ANALYTICAL), Vasicek (ANALYTICAL), CIR++ (EULER) and hybrid
-containers of those.  Heston QE is NOT invertible (branch mixing + an extra
-uniform; the quadratic branch loses the sign of z_v), so differentiated QE
-books stay on the XLA engine with fuzzy smoothing — the validated gradient
-contract (reference heston.py:227-236).
+cheap elementwise tangent sweep.  Under differentiation the returned primal
+is the reconstruction's trajectory — bit-for-bit the same map as the kernel
+up to XLA instruction scheduling (undifferentiated calls return the kernel
+states untouched).
 """
 
 from __future__ import annotations
@@ -85,6 +91,39 @@ def _schedule_arrays(calibration_date: float, points: Sequence[float], dtype):
             jnp.asarray(dt_list, dtype=dtype))
 
 
+def _coarse_slots(num_dense: int, orig_idx) -> np.ndarray:
+    """slot[i] = coarse index whose interval contains dense step i.
+
+    Every substep writes its state to its interval's slot; the endpoint
+    write is the LAST one in the interval, so the buffer needs no masks."""
+    slots = np.zeros(num_dense, dtype=np.int32)
+    k = 0
+    for i in range(num_dense):
+        slots[i] = min(k, len(orig_idx) - 1)
+        if k < len(orig_idx) and i == int(orig_idx[k]):
+            k += 1
+    return slots
+
+
+def _opaque_primal(forward_fn):
+    """Wrap the kernel forward as an AD-opaque function: its draws (and
+    therefore its outputs' dependence on params through the RNG stream) are
+    parameter-independent by construction; under any jvp the tangent is
+    declared zero so nested transforms never reach ``pallas_call``."""
+
+    @jax.custom_jvp
+    def kernel_primal(params):
+        return forward_fn(params)
+
+    @kernel_primal.defjvp
+    def kernel_primal_jvp(primals, tangents):
+        out = kernel_primal(primals[0])
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, out)
+        return out, zeros
+
+    return kernel_primal
+
+
 def recovered_noise_paths(model, scheme, timeline, num_paths: int,
                           num_steps: int, forward_fn):
     """Differentiable path states at ``timeline`` points: [T, N, D].
@@ -97,15 +136,29 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
     timeline points with exact pathwise derivatives of the forward stream.
     """
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
+    # HOST index/slot arrays: an eager jnp.asarray here would live on the
+    # device and embed as an MLIR constant whose value the lowering must
+    # fetch back through the (possibly remote) runtime — measured 100s+ per
+    # trace on a relay-attached TPU.  numpy keeps them host constants.
+    idx = np.asarray(orig_idx)
+    slots = _coarse_slots(len(dense), orig_idx)
+    kernel_primal = _opaque_primal(forward_fn)
+
+    def transform_at(p, dts, dtype):
+        if scheme.name == "ANALYTICAL":
+            return jnp.linalg.cholesky(
+                model.covariance_matrix(p, dts).astype(dtype)
+            )
+        return model.noise_transform(p, scheme, None).astype(dtype)
 
     @jax.custom_jvp
-    def paths_dense(params):
-        return forward_fn(params)
+    def paths_coarse(params):
+        return kernel_primal(params)[idx]
 
-    @paths_dense.defjvp
-    def paths_dense_jvp(primals, tangents):
+    @paths_coarse.defjvp
+    def paths_coarse_jvp(primals, tangents):
         (params,), (dparams,) = primals, tangents
-        states = paths_dense(params)  # [T', N, D]; recursion-safe under nesting
+        states = kernel_primal(params)  # [T', N, D] dense plane, AD-opaque
         dtype = states.dtype
         t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
         live = dt_arr > 0.0
@@ -131,52 +184,45 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
         # frozen with stop_gradient (also the correct higher-order
         # semantics); reconstruction re-applies L(p) so those derivatives
         # flow exactly.
-        def transform_at(p, dts):
-            if scheme.name == "ANALYTICAL":
-                return jnp.linalg.cholesky(
-                    model.covariance_matrix(p, dts).astype(dtype)
-                )
-            return model.noise_transform(p, scheme, None).astype(dtype)
-
         z = jax.lax.stop_gradient(
             jax.vmap(
                 lambda dts, nn: jax.scipy.linalg.solve_triangular(
-                    transform_at(params, dts), nn.T, lower=True
+                    transform_at(params, dts, dtype), nn.T, lower=True
                 ).T
             )(dt_safe, corr_noise)
         )  # [T', N, sim_dim] — standard normals
 
-        def reconstruct(p):
-            # Mirror of engine/engine.py's scan semantics, minus RNG: states
-            # from given standard normals.  Its jvp at the recovered z is the
-            # exact pathwise tangent of the kernel trajectory.
-            state0 = model.init_state(p, num_paths).astype(dtype)
+        slots_arr = jnp.asarray(slots)
 
-            def body(state, xs):
-                t1, dts, is_live, z_step = xs
-                noise = z_step @ transform_at(p, dts).T
+        def reconstruct_coarse(p):
+            # Mirror of engine/engine.py's scan semantics, minus RNG: states
+            # from the given standard normals, emitting ONLY the mapped
+            # coarse points into an in-place carry buffer.  Its jvp at the
+            # recovered z is the exact pathwise tangent of the kernel
+            # trajectory — with per-tangent memory T_coarse-, not
+            # T_dense-sized.
+            state0 = model.init_state(p, num_paths).astype(dtype)
+            buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
+
+            def body(carry, xs):
+                state, buf = carry
+                t1, dts, is_live, slot, z_step = xs
+                noise = z_step @ transform_at(p, dts, dtype).T
                 new = model.step(p, scheme, t1, t1 + dts, state, noise)
                 new = jnp.where(is_live, new, state)
-                return new, new
+                buf = jax.lax.dynamic_update_slice_in_dim(
+                    buf, new[None], slot, axis=0
+                )
+                return (new, buf), None
 
-            _, ys = jax.lax.scan(
-                body, state0, (t_prev_arr, dt_safe, live, z)
+            (_, buf), _ = jax.lax.scan(
+                body, (state0, buf0), (t_prev_arr, dt_safe, live, slots_arr, z)
             )
-            return ys
+            return buf
 
-        tangents_out = jax.jvp(reconstruct, (params,), (dparams,))[1]
-        return states, tangents_out
+        return jax.jvp(reconstruct_coarse, (params,), (dparams,))
 
-    # HOST index array: an eager jnp.asarray here would live on the device
-    # and embed as an MLIR constant whose value the lowering must fetch back
-    # through the (possibly remote) runtime — measured 100s+ per trace on a
-    # relay-attached TPU.  numpy keeps the gather indices a host constant.
-    idx = np.asarray(orig_idx)
-
-    def paths(params):
-        return paths_dense(params)[idx]
-
-    return paths
+    return paths_coarse
 
 
 def emitted_noise_paths(model, scheme, timeline, num_paths: int,
@@ -191,39 +237,44 @@ def emitted_noise_paths(model, scheme, timeline, num_paths: int,
     :func:`recovered_noise_paths`.  The tangent rule freezes the emitted
     draws (they are parameter-independent by construction — the correct
     higher-order semantics too) and re-derives the step recurrence in XLA
-    via ``jax.jvp`` of a reconstruction scan over ``model.step`` — with
-    ``model.perform_smoothing`` set, the smoothed-branch trajectory and its
-    derivative, the engine's validated QE gradient contract (reference
-    heston.py:227-236).
+    via ``jax.jvp`` of a coarse-emitting reconstruction scan over
+    ``model.step`` — with ``model.perform_smoothing`` set, the smoothed-
+    branch trajectory and its derivative, the engine's validated QE gradient
+    contract (reference heston.py:227-236).
 
     The kernel's forward must run the SAME smoothed step for the primal and
     reconstruction trajectories to coincide (heston_qe_paths
     ``smoothing=True``).
     """
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
+    idx = np.asarray(orig_idx)  # host constants — see recovered_noise_paths
+    slots = _coarse_slots(len(dense), orig_idx)
+    kernel_primal = _opaque_primal(forward_fn)
 
     @jax.custom_jvp
-    def paths_dense(params):
-        return forward_fn(params)
+    def paths_coarse(params):
+        return kernel_primal(params)[0][idx]
 
-    @paths_dense.defjvp
-    def paths_dense_jvp(primals, tangents):
+    @paths_coarse.defjvp
+    def paths_coarse_jvp(primals, tangents):
         (params,), (dparams,) = primals, tangents
-        states, z, u = paths_dense(params)  # recursion-safe under nesting
-        dtype = states.dtype
+        _, z, u = kernel_primal(params)  # draws AD-opaque by construction
+        dtype = z.dtype
         t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
         live = dt_arr > 0.0
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
-        z = jax.lax.stop_gradient(z)
-        u = jax.lax.stop_gradient(u)
+        slots_arr = jnp.asarray(slots)
 
-        def reconstruct(p):
-            # Engine-scan mirror at the kernel's own draws (no RNG): its jvp
-            # is the exact pathwise tangent of the smoothed QE trajectory.
+        def reconstruct_coarse(p):
+            # Engine-scan mirror at the kernel's own draws (no RNG),
+            # emitting only the mapped coarse points; its jvp is the exact
+            # pathwise tangent of the smoothed QE trajectory.
             state0 = model.init_state(p, num_paths).astype(dtype)
+            buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
 
-            def body(state, xs):
-                t1, dts, is_live, z_step, u_step = xs
+            def body(carry, xs):
+                state, buf = carry
+                t1, dts, is_live, slot, z_step, u_step = xs
                 # QE leaves the driver normals uncorrelated (correlation
                 # enters through the K coefficients — models/heston.py), so
                 # the emitted z IS the corr_noise; reapply the (identity)
@@ -232,20 +283,17 @@ def emitted_noise_paths(model, scheme, timeline, num_paths: int,
                 new = model.step(p, scheme, t1, t1 + dts, state, noise,
                                  uniform=u_step)
                 new = jnp.where(is_live, new, state)
-                return new, new
+                buf = jax.lax.dynamic_update_slice_in_dim(
+                    buf, new[None], slot, axis=0
+                )
+                return (new, buf), None
 
-            _, ys = jax.lax.scan(
-                body, state0, (t_prev_arr, dt_safe, live, z, u)
+            (_, buf), _ = jax.lax.scan(
+                body, (state0, buf0),
+                (t_prev_arr, dt_safe, live, slots_arr, z, u),
             )
-            return ys
+            return buf
 
-        d_states = jax.jvp(reconstruct, (params,), (dparams,))[1]
-        zero = jnp.zeros_like(z), jnp.zeros_like(u)
-        return (states, z, u), (d_states, *zero)
+        return jax.jvp(reconstruct_coarse, (params,), (dparams,))
 
-    idx = np.asarray(orig_idx)  # host constant — see recovered_noise_paths
-
-    def paths(params):
-        return paths_dense(params)[0][idx]
-
-    return paths
+    return paths_coarse
