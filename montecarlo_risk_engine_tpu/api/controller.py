@@ -1307,28 +1307,33 @@ class SimulationController:
 
         def jac(p):
             n = len(p)
-            basis = tuple(
-                jnp.asarray(np.eye(n)[:, j], dtype=jnp.result_type(p[j]))
-                for j in range(n)
-            )  # per-leaf [P] tangent columns
-            # linearize ONCE, then map the LINEAR function over the tangent
-            # basis: the primal pipeline (including any Pallas path kernel)
-            # runs a single time per grads program instead of once per chunk,
-            # and the mapped body is linear/pallas-free.  The latter also
-            # matters for correctness on TPU: two kernel-bearing jvp
+            # Pad the basis to a MULTIPLE of the chunk width so lax.map's
+            # body is the only jvp program shape: two kernel-bearing jvp
             # instances at DIFFERENT vmap widths in one program (a full
             # chunk + lax.map's remainder batch) fault the device (Mosaic;
             # isolated on v5e — widths 8 and 3 each pass alone, together
-            # they fault), so the kernel must stay out of the mapped body.
+            # they fault).  Zero tangent columns cost one wasted partial
+            # sweep at most; their rows are dropped below.  (linearize-once
+            # + mapping the linear function also fixes the width fault, but
+            # pins EVERY pipeline residual live across the whole map —
+            # 39.7G at 1M paths; per-chunk jvp frees residuals each
+            # iteration.)
+            nb = -(-n // chunk) * chunk if chunk > 1 else n
+            cols = np.concatenate(
+                [np.eye(n), np.zeros((n, nb - n))], axis=1
+            )  # [n, NB]: cols[j, i] = tangent of leaf j in basis element i
+            basis = tuple(
+                jnp.asarray(cols[j], dtype=jnp.result_type(p[j]))
+                for j in range(n)
+            )  # per-leaf [NB] tangent columns
             # lax.map (not a Python loop) so the sequential sweeps REUSE
             # buffers: an unrolled chunk loop keeps every sweep's tangent
             # stack live at once (84.8GB at 1M paths for 12 params).
-            _, lin = jax.linearize(fn, p)
             rows = jax.lax.map(
-                lin,
+                lambda tb: jax.jvp(fn, (p,), (tb,))[1],
                 basis,
                 batch_size=chunk if chunk > 1 else None,
-            )  # [P, V]
+            )  # [NB, V]
             return tuple(rows[i] for i in range(n))
 
         return jac
