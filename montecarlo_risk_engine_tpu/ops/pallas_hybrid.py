@@ -42,6 +42,7 @@ from montecarlo_risk_engine_tpu.ops.pallas_paths import (
     _compiler_params,
     _normal_pair,
     _seed_words,
+    padded_paths,
 )
 
 
@@ -116,10 +117,9 @@ def hybrid_paths(
     assert chol.shape == (sim_dim, sim_dim)
 
     block_paths = rows_per_block * _LANES
-    if num_paths % block_paths:
-        raise ValueError(f"num_paths must be a multiple of {block_paths}")
-    n_blocks = num_paths // block_paths
-    total_rows = num_paths // _LANES
+    padded = padded_paths(num_paths, rows_per_block)
+    n_blocks = padded // block_paths
+    total_rows = padded // _LANES
 
     points = [float(t) for t in timeline]
     t_prev = float(calibration_date)
@@ -306,4 +306,6 @@ def hybrid_paths(
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]
-    return jnp.moveaxis(out.reshape(num_points, state_dim, num_paths), 1, -1)
+    return jnp.moveaxis(
+        out.reshape(num_points, state_dim, padded)[:, :, :num_paths], 1, -1
+    )

@@ -141,8 +141,9 @@ def heston_qe_paths(
 ):
     """Generate Heston QE states at timeline points: returns [T, N, 2] f32.
 
-    num_paths must be a multiple of rows_per_block * 128.  ``params`` may be
-    traced (the controller's jitted pipeline is a function of the flat model
+    Any ``num_paths``: the kernel simulates the next multiple of
+    rows_per_block * 128 and slices the tail off.  ``params`` may be traced
+    (the controller's jitted pipeline is a function of the flat model
     parameters): the seven scalars ride into the kernel through SMEM.
 
     ``emit_noise=True`` (requires ``num_steps == 1`` — the AD wrapper's
@@ -158,10 +159,9 @@ def heston_qe_paths(
                          "(num_steps == 1)")
     params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
     block_paths = rows_per_block * _LANES
-    if num_paths % block_paths:
-        raise ValueError(f"num_paths must be a multiple of {block_paths}")
-    n_blocks = num_paths // block_paths
-    total_rows = num_paths // _LANES
+    padded = padded_paths(num_paths, rows_per_block)
+    n_blocks = padded // block_paths
+    total_rows = padded // _LANES
 
     points = [float(t) for t in timeline]
     t_prev = float(calibration_date)
@@ -227,7 +227,7 @@ def heston_qe_paths(
         compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
-    flat = [o.reshape(num_points, num_paths) for o in outs]
+    flat = [o.reshape(num_points, padded)[:, :num_paths] for o in outs]
     states = jnp.stack(flat[:2], axis=-1)
     if not emit_noise:
         return states
@@ -256,10 +256,9 @@ def vasicek_paths(
     """
     params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
     block_paths = rows_per_block * _LANES
-    if num_paths % block_paths:
-        raise ValueError(f"num_paths must be a multiple of {block_paths}")
-    n_blocks = num_paths // block_paths
-    total_rows = num_paths // _LANES
+    padded = padded_paths(num_paths, rows_per_block)
+    n_blocks = padded // block_paths
+    total_rows = padded // _LANES
 
     points = [float(t) for t in timeline]
     t_prev = float(calibration_date)
@@ -330,7 +329,8 @@ def vasicek_paths(
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     return jnp.stack(
-        [rs.reshape(num_points, num_paths), logbs.reshape(num_points, num_paths)],
+        [rs.reshape(num_points, padded)[:, :num_paths],
+         logbs.reshape(num_points, padded)[:, :num_paths]],
         axis=-1,
     )
 
@@ -352,21 +352,31 @@ def _compiler_params():
 
 def pick_rows_per_block(num_paths: int, preferred: int = 256,
                         outputs_per_path: int = 1):
-    """Largest rows-per-block <= preferred with num_paths % (rows*128) == 0,
-    shrunk so the per-block emission (outputs_per_path f32 values per path)
-    stays inside the scoped-VMEM budget.
+    """Largest rows-per-block <= preferred whose per-block emission
+    (outputs_per_path f32 values per path) stays inside the scoped-VMEM
+    budget.  The path count does NOT constrain the choice: kernels pad
+    internally to a block multiple (see :func:`padded_paths`), so any
+    ``num_paths`` is blockable.
 
-    Returns None when no block size >= 8 fits (the caller should fall back
-    to the XLA scan engine)."""
+    Returns None when no block size >= 8 fits the VMEM budget (the caller
+    should fall back to the XLA scan engine)."""
+    del num_paths  # kept in the signature for call-site stability
     budget_rows = _VMEM_BLOCK_BUDGET_BYTES // max(1, outputs_per_path * _LANES * 4)
-    while preferred > budget_rows and preferred >= 8:
-        preferred //= 2
     rows = preferred
-    while rows >= 8:
-        if num_paths % (rows * _LANES) == 0:
-            return rows
+    while rows > budget_rows and rows >= 8:
         rows //= 2
-    return None
+    return rows if rows >= 8 else None
+
+
+def padded_paths(num_paths: int, rows_per_block: int) -> int:
+    """Smallest multiple of the kernel block (rows*128) >= num_paths.
+
+    Kernels simulate the padded count and slice the tail off: seeding is
+    per block, so the real paths' draws are untouched and ANY path count is
+    kernel-eligible (1,000,000 is not divisible by any rows*128 — the
+    pre-padding gate silently sent such books to the scan engine)."""
+    bp = rows_per_block * _LANES
+    return -(-num_paths // bp) * bp
 
 
 def bs_multi_paths(
@@ -391,7 +401,8 @@ def bs_multi_paths(
     is small, so the D x D triangular combine stays in registers; state lives
     in VMEM for the whole trajectory).
 
-    num_paths must be a multiple of rows_per_block * 128.  ``spots``, ``vols``
+    Any ``num_paths`` (padded internally to a block multiple, tail sliced
+    off).  ``spots``, ``vols``
     and ``rate`` may be traced (the controller pipeline is a function of the
     flat model parameters) — they enter the kernel through SMEM; the
     correlation matrix is static model structure, so its Cholesky factor is
@@ -406,10 +417,9 @@ def bs_multi_paths(
     chol = _np.linalg.cholesky(_np.asarray(correlation, dtype=_np.float64))
 
     block_paths = rows_per_block * _LANES
-    if num_paths % block_paths:
-        raise ValueError(f"num_paths must be a multiple of {block_paths}")
-    n_blocks = num_paths // block_paths
-    total_rows = num_paths // _LANES
+    padded = padded_paths(num_paths, rows_per_block)
+    n_blocks = padded // block_paths
+    total_rows = padded // _LANES
 
     points = [float(t) for t in timeline]
     t_prev = float(calibration_date)
@@ -470,4 +480,6 @@ def bs_multi_paths(
     )(_seed_words(seed, phase, block_offset), params_vec)
 
     # [T, D, rows, lanes] -> [T, N, D]
-    return jnp.moveaxis(out.reshape(num_points, num_assets, num_paths), 1, -1)
+    return jnp.moveaxis(
+        out.reshape(num_points, num_assets, padded)[:, :, :num_paths], 1, -1
+    )

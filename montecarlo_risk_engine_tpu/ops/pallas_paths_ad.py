@@ -22,10 +22,20 @@ tangent kernel:
      construction, the tangent of the reconstruction at the recovered noise
      IS the exact pathwise derivative of the kernel's own trajectory.
 
+The noise recovery and the reconstruction are exposed SEPARATELY
+(:func:`recovered_noise_fns` / :func:`emitted_noise_fns`) so the
+controller's jacobian drivers can hoist the kernel + inversion OUT of the
+per-tangent sweep loop: z is the same frozen constant for every tangent
+direction, so a P-parameter jacobian needs ONE kernel run + inversion, not
+P/chunk of them (measured v5e, north-star 1M paths: the rule-per-sweep
+layout spent ~40% of each sweep recomputing identical z).  The composite
+custom-JVP wrappers (:func:`recovered_noise_paths` /
+:func:`emitted_noise_paths`) remain for single-shot use and for nesting.
+
 Memory layout (round-3 redesign, after an HBM OOM at 1M paths x 57 dense
-points x 8-wide tangent chunks): the custom-JVP boundary sits at the COARSE
-timeline.  The tangent-side reconstruction scan emits ONLY the mapped coarse
-points, writing each substep state into a [T_coarse, N, D] carry buffer
+points x 8-wide tangent chunks): the AD boundary sits at the COARSE
+timeline.  The reconstruction scan emits ONLY the mapped coarse points,
+writing each substep state into a [T_coarse, N, D] carry buffer
 (``dynamic_update_slice`` on the scan carry updates in place; the interval's
 endpoint write lands last, so no masks are needed).  Dense-sized arrays
 under AD are just the one primal plane and the recovered normals — never
@@ -124,16 +134,24 @@ def _opaque_primal(forward_fn):
     return kernel_primal
 
 
-def recovered_noise_paths(model, scheme, timeline, num_paths: int,
-                          num_steps: int, forward_fn):
-    """Differentiable path states at ``timeline`` points: [T, N, D].
+def recovered_noise_fns(model, scheme, timeline, num_paths: int,
+                        num_steps: int, forward_fn):
+    """(forward_coarse, noise_fn, recon_fn) for invertible-transition models.
 
     ``forward_fn(params) -> [T_dense, N, D]`` produces the primal states at
     the substep-dense timeline (normally the Pallas kernel with
     ``num_steps=1``; tests substitute the threefry engine to pin the tangent
-    rule against ``jax.jacfwd`` of the same engine exactly).  The returned
-    function maps the flat ``params`` tuple to states at the ORIGINAL
-    timeline points with exact pathwise derivatives of the forward stream.
+    rule against ``jax.jacfwd`` of the same engine exactly).
+
+      * ``forward_coarse(params)`` — kernel states at the ORIGINAL timeline
+        points (AD-opaque; for undifferentiated consumers).
+      * ``noise_fn(params)`` — the frozen standard driver normals z
+        [T_dense, N, sim_dim] recovered from the kernel trajectory
+        (``Model.invert_noise`` + a triangular solve; stop_gradient'd).
+      * ``recon_fn(params, z)`` — coarse states [T, N, D] rebuilt from z in
+        plain differentiable XLA; ``recon_fn(p, noise_fn(p))`` is the
+        kernel's own trajectory, and its params-derivatives at frozen z are
+        the exact pathwise derivatives of that trajectory.
     """
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
     # HOST index/slot arrays: an eager jnp.asarray here would live on the
@@ -151,13 +169,10 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
             )
         return model.noise_transform(p, scheme, None).astype(dtype)
 
-    @jax.custom_jvp
-    def paths_coarse(params):
+    def forward_coarse(params):
         return kernel_primal(params)[idx]
 
-    @paths_coarse.defjvp
-    def paths_coarse_jvp(primals, tangents):
-        (params,), (dparams,) = primals, tangents
+    def noise_fn(params):
         states = kernel_primal(params)  # [T', N, D] dense plane, AD-opaque
         dtype = states.dtype
         t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
@@ -184,7 +199,7 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
         # frozen with stop_gradient (also the correct higher-order
         # semantics); reconstruction re-applies L(p) so those derivatives
         # flow exactly.
-        z = jax.lax.stop_gradient(
+        return jax.lax.stop_gradient(
             jax.vmap(
                 lambda dts, nn: jax.scipy.linalg.solve_triangular(
                     transform_at(params, dts, dtype), nn.T, lower=True
@@ -192,108 +207,151 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
             )(dt_safe, corr_noise)
         )  # [T', N, sim_dim] — standard normals
 
+    def recon_fn(p, z):
+        # Mirror of engine/engine.py's scan semantics, minus RNG: states
+        # from the given standard normals, emitting ONLY the mapped coarse
+        # points into an in-place carry buffer.  Its jvp at the recovered z
+        # is the exact pathwise tangent of the kernel trajectory — with
+        # per-tangent memory T_coarse-, not T_dense-sized.
+        dtype = z.dtype
+        t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
+        live = dt_arr > 0.0
+        dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
+        state0 = model.init_state(p, num_paths).astype(dtype)
+        buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
 
-        def reconstruct_coarse(p):
-            # Mirror of engine/engine.py's scan semantics, minus RNG: states
-            # from the given standard normals, emitting ONLY the mapped
-            # coarse points into an in-place carry buffer.  Its jvp at the
-            # recovered z is the exact pathwise tangent of the kernel
-            # trajectory — with per-tangent memory T_coarse-, not
-            # T_dense-sized.
-            state0 = model.init_state(p, num_paths).astype(dtype)
-            buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
-
-            def body(carry, xs):
-                state, buf = carry
-                t1, dts, is_live, slot, z_step = xs
-                noise = z_step @ transform_at(p, dts, dtype).T
-                new = model.step(p, scheme, t1, t1 + dts, state, noise)
-                new = jnp.where(is_live, new, state)
-                buf = jax.lax.dynamic_update_slice_in_dim(
-                    buf, new[None], slot, axis=0
-                )
-                return (new, buf), None
-
-            (_, buf), _ = jax.lax.scan(
-                body, (state0, buf0), (t_prev_arr, dt_safe, live, slots_arr, z)
+        def body(carry, xs):
+            state, buf = carry
+            t1, dts, is_live, slot, z_step = xs
+            noise = z_step @ transform_at(p, dts, dtype).T
+            new = model.step(p, scheme, t1, t1 + dts, state, noise)
+            new = jnp.where(is_live, new, state)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, new[None], slot, axis=0
             )
-            return buf
+            return (new, buf), None
 
-        return jax.jvp(reconstruct_coarse, (params,), (dparams,))
+        (_, buf), _ = jax.lax.scan(
+            body, (state0, buf0), (t_prev_arr, dt_safe, live, slots_arr, z)
+        )
+        return buf
+
+    return forward_coarse, noise_fn, recon_fn
+
+
+def recovered_noise_paths(model, scheme, timeline, num_paths: int,
+                          num_steps: int, forward_fn):
+    """Differentiable path states at ``timeline`` points: [T, N, D].
+
+    The composite single-shot wrapper over :func:`recovered_noise_fns`:
+    forward runs the kernel, the custom-JVP tangent recovers z and
+    differentiates the reconstruction.  Prefer the split fns when sweeping
+    many tangent directions (z hoists out of the sweep loop).
+    """
+    forward_coarse, noise_fn, recon_fn = recovered_noise_fns(
+        model, scheme, timeline, num_paths, num_steps, forward_fn
+    )
+
+    @jax.custom_jvp
+    def paths_coarse(params):
+        return forward_coarse(params)
+
+    @paths_coarse.defjvp
+    def paths_coarse_jvp(primals, tangents):
+        (params,), (dparams,) = primals, tangents
+        z = noise_fn(params)
+        return jax.jvp(lambda p: recon_fn(p, z), (params,), (dparams,))
 
     return paths_coarse
 
 
-def emitted_noise_paths(model, scheme, timeline, num_paths: int,
-                        num_steps: int, forward_fn):
-    """Differentiable path states for NON-invertible transitions (Heston QE).
+def emitted_noise_fns(model, scheme, timeline, num_paths: int,
+                      num_steps: int, forward_fn):
+    """(forward_coarse, noise_fn, recon_fn) for NON-invertible transitions
+    (Heston QE).
 
     ``forward_fn(params) -> (states [T', N, D], z [T', N, sim_dim],
     u [T', N])`` runs the noise-emitting kernel on the substep-dense timeline
     (ops/pallas_paths.heston_qe_paths with ``emit_noise=True``): QE branch
     mixing plus the extra uniform make the transition non-invertible, so the
     kernel ships its own raw draws instead of the inversion used by
-    :func:`recovered_noise_paths`.  The tangent rule freezes the emitted
-    draws (they are parameter-independent by construction — the correct
-    higher-order semantics too) and re-derives the step recurrence in XLA
-    via ``jax.jvp`` of a coarse-emitting reconstruction scan over
-    ``model.step`` — with ``model.perform_smoothing`` set, the smoothed-
-    branch trajectory and its derivative, the engine's validated QE gradient
-    contract (reference heston.py:227-236).
+    :func:`recovered_noise_fns`.  ``noise_fn`` returns the frozen (z, u)
+    pair; ``recon_fn(params, (z, u))`` re-derives the step recurrence in XLA
+    — with ``model.perform_smoothing`` set, the smoothed-branch trajectory
+    and its derivative, the engine's validated QE gradient contract
+    (reference heston.py:227-236).
 
     The kernel's forward must run the SAME smoothed step for the primal and
     reconstruction trajectories to coincide (heston_qe_paths
     ``smoothing=True``).
     """
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
-    idx = np.asarray(orig_idx)  # host constants — see recovered_noise_paths
+    idx = np.asarray(orig_idx)  # host constants — see recovered_noise_fns
     slots = _coarse_slots(len(dense), orig_idx)
     kernel_primal = _opaque_primal(forward_fn)
 
-    @jax.custom_jvp
-    def paths_coarse(params):
+    def forward_coarse(params):
         return kernel_primal(params)[0][idx]
 
-    @paths_coarse.defjvp
-    def paths_coarse_jvp(primals, tangents):
-        (params,), (dparams,) = primals, tangents
+    def noise_fn(params):
         _, z, u = kernel_primal(params)  # draws AD-opaque by construction
+        return jax.lax.stop_gradient(z), jax.lax.stop_gradient(u)
+
+    def recon_fn(p, noise):
+        z, u = noise
         dtype = z.dtype
         t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
         live = dt_arr > 0.0
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
+        state0 = model.init_state(p, num_paths).astype(dtype)
+        buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
 
-        def reconstruct_coarse(p):
-            # Engine-scan mirror at the kernel's own draws (no RNG),
-            # emitting only the mapped coarse points; its jvp is the exact
-            # pathwise tangent of the smoothed QE trajectory.
-            state0 = model.init_state(p, num_paths).astype(dtype)
-            buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
-
-            def body(carry, xs):
-                state, buf = carry
-                t1, dts, is_live, slot, z_step, u_step = xs
-                # QE leaves the driver normals uncorrelated (correlation
-                # enters through the K coefficients — models/heston.py), so
-                # the emitted z IS the corr_noise; reapply the (identity)
-                # transform anyway for generality with other schemes.
-                noise = z_step @ model.noise_transform(p, scheme, dts).T.astype(dtype)
-                new = model.step(p, scheme, t1, t1 + dts, state, noise,
-                                 uniform=u_step)
-                new = jnp.where(is_live, new, state)
-                buf = jax.lax.dynamic_update_slice_in_dim(
-                    buf, new[None], slot, axis=0
-                )
-                return (new, buf), None
-
-            (_, buf), _ = jax.lax.scan(
-                body, (state0, buf0),
-                (t_prev_arr, dt_safe, live, slots_arr, z, u),
+        def body(carry, xs):
+            state, buf = carry
+            t1, dts, is_live, slot, z_step, u_step = xs
+            # QE leaves the driver normals uncorrelated (correlation enters
+            # through the K coefficients — models/heston.py), so the emitted
+            # z IS the corr_noise; reapply the (identity) transform anyway
+            # for generality with other schemes.
+            noise_step = z_step @ model.noise_transform(p, scheme, dts).T.astype(dtype)
+            new = model.step(p, scheme, t1, t1 + dts, state, noise_step,
+                             uniform=u_step)
+            new = jnp.where(is_live, new, state)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, new[None], slot, axis=0
             )
-            return buf
+            return (new, buf), None
 
-        return jax.jvp(reconstruct_coarse, (params,), (dparams,))
+        (_, buf), _ = jax.lax.scan(
+            body, (state0, buf0),
+            (t_prev_arr, dt_safe, live, slots_arr, z, u),
+        )
+        return buf
+
+    return forward_coarse, noise_fn, recon_fn
+
+
+def emitted_noise_paths(model, scheme, timeline, num_paths: int,
+                        num_steps: int, forward_fn):
+    """Differentiable path states for NON-invertible transitions (Heston QE).
+
+    Composite single-shot wrapper over :func:`emitted_noise_fns` — see
+    :func:`recovered_noise_paths` for when to prefer the split fns.
+    """
+    forward_coarse, noise_fn, recon_fn = emitted_noise_fns(
+        model, scheme, timeline, num_paths, num_steps, forward_fn
+    )
+
+    @jax.custom_jvp
+    def paths_coarse(params):
+        return forward_coarse(params)
+
+    @paths_coarse.defjvp
+    def paths_coarse_jvp(primals, tangents):
+        (params,), (dparams,) = primals, tangents
+        noise = noise_fn(params)
+        return jax.jvp(lambda p: recon_fn(p, noise), (params,), (dparams,))
 
     return paths_coarse

@@ -57,12 +57,10 @@ def shard_paths_over_mesh(path_fn, params, sharding: NamedSharding,
     if num_paths % n_dev:
         raise ValueError(f"num_paths {num_paths} not divisible by {n_dev} devices")
     local_paths = num_paths // n_dev
-    if local_paths % block_paths:
-        raise ValueError(
-            f"per-device path count {local_paths} not divisible by the "
-            f"kernel block ({block_paths})"
-        )
-    blocks_per_dev = local_paths // block_paths
+    # Kernels pad internally to a block multiple (pallas_paths.padded_paths),
+    # so blocks_per_dev is the PADDED per-device block count — every device
+    # agrees on it, keeping global block offsets collision-free.
+    blocks_per_dev = -(-local_paths // block_paths)
 
     def local_fn(p):
         offset = jax.lax.axis_index(axis) * blocks_per_dev
@@ -147,7 +145,7 @@ def sharded_pallas_paths_with_noise(model, params, scheme, timeline,
         raise ValueError(
             f"per-device path count {local_paths} not blockable for Pallas"
         )
-    blocks_per_dev = local_paths // (rows * _LANES)
+    blocks_per_dev = -(-local_paths // (rows * _LANES))  # padded count
 
     def local_fn(p):
         offset = jax.lax.axis_index(axis) * blocks_per_dev

@@ -210,3 +210,32 @@ def test_block_offset_matches_unsharded_global_blocks():
         seed=5, phase=1, block_offset=2, rows_per_block=rows,
     )).reshape(2, block_paths)
     np.testing.assert_array_equal(full[2:], tail)
+
+
+def test_non_divisible_path_counts_pad_and_slice():
+    """Any path count is kernel-eligible: the kernel simulates the next
+    block multiple and slices the tail, so a non-divisible count is the
+    bitwise PREFIX of the padded run (pallas_paths.padded_paths).  1,000,000
+    is divisible by no rows*128 — pre-padding, such books silently fell
+    back to the scan engine."""
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+        bs_multi_paths, vasicek_paths)
+
+    tl = tuple(np.linspace(0.25, 2.0, 8))
+    kw = dict(seed=11, rows_per_block=8)
+    block = 8 * 128
+    for n in (1000, 3 * block + 17):
+        padded = -(-n // block) * block
+        got = np.asarray(bs_multi_paths(
+            [100.0, 90.0], [0.2, 0.3], 0.03,
+            [[1.0, 0.4], [0.4, 1.0]], tl, n, **kw))
+        ref = np.asarray(bs_multi_paths(
+            [100.0, 90.0], [0.2, 0.3], 0.03,
+            [[1.0, 0.4], [0.4, 1.0]], tl, padded, **kw))
+        assert got.shape[1] == n
+        np.testing.assert_array_equal(got, ref[:, :n])
+    got = np.asarray(vasicek_paths(
+        (0.03, 0.012, 0.045, 0.3), tl, 1000, 1, **kw))
+    ref = np.asarray(vasicek_paths(
+        (0.03, 0.012, 0.045, 0.3), tl, block, 1, **kw))
+    np.testing.assert_array_equal(got, ref[:, :1000])
