@@ -32,7 +32,7 @@ sys.path.insert(0, ".")
 
 
 def main(num_paths: int = 16_777_216, n_devices: int = 8, aad: bool = False,
-         hessian: bool = False, chunk: int = 4):
+         hessian: bool = False, chunk: int = 4, presim=None):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"
@@ -57,9 +57,13 @@ def main(num_paths: int = 16_777_216, n_devices: int = 8, aad: bool = False,
     sharding = NamedSharding(mesh, PartitionSpec("paths"))
 
     differentiate = aad or hessian
+    # presim: LSM-fit path count (regression coefficients converge far below
+    # the mainsim count — a smaller presim bounds the peak of the fit tables
+    # at 16M-scale runs; still sharded over the same mesh).
     controller = build(num_paths, hessian=False, path_sharding=sharding,
                        streaming=True, differentiate=differentiate,
-                       grad_chunk_size=chunk, remat_paths=differentiate)
+                       grad_chunk_size=chunk, remat_paths=differentiate,
+                       num_paths_presim=presim)
     if hessian:
         controller.compute_higher_derivatives()
 
@@ -108,7 +112,11 @@ if __name__ == "__main__":
     aad_flag = "--aad" in sys.argv
     hessian_flag = "--hessian" in sys.argv
     chunk = 4
+    presim = None
     for a in sys.argv[1:]:
         if a.startswith("--chunk="):
             chunk = int(a.split("=")[1])
-    main(np_paths, nd, aad=aad_flag, hessian=hessian_flag, chunk=chunk)
+        if a.startswith("--presim="):
+            presim = int(a.split("=")[1])
+    main(np_paths, nd, aad=aad_flag, hessian=hessian_flag, chunk=chunk,
+         presim=presim)

@@ -86,6 +86,7 @@ class SimulationController:
         grad_mode: str = "auto",
         streaming: object = "auto",
         use_pallas: object = "auto",
+        sampler: str = "pseudo",
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -160,6 +161,19 @@ class SimulationController:
         # Note the reported MC standard errors keep the reference's iid-path
         # convention, which is conservative for antithetic pairs.
         self.antithetic = bool(antithetic)
+        # Driver sampler: "pseudo" (threefry) or "sobol" (digitally-shifted
+        # quasi-Monte Carlo, ops/sobol.py — not in the reference).  Reported
+        # MC standard errors keep the iid convention, which empirically
+        # OVERSTATES scrambled-QMC error on smooth payoffs; independent
+        # root_seed values give independent randomizations for exact rQMC
+        # error estimation.
+        if sampler not in ("pseudo", "sobol"):
+            raise ValueError("sampler must be 'pseudo' or 'sobol'")
+        if sampler == "sobol" and antithetic:
+            raise ValueError(
+                "sampler='sobol' is incompatible with antithetic sampling"
+            )
+        self.sampler = sampler
         # Rematerialize path steps in reverse-mode AD (memory/compute trade
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
@@ -1213,6 +1227,7 @@ class SimulationController:
         common = dict(
             root_seed=self.root_seed, path_sharding=self.path_sharding,
             antithetic=self.antithetic, remat=self.remat_paths,
+            sampler=self.sampler,
         )
         if schedule is not None:
             _, emissions = simulate_paths(
@@ -1679,6 +1694,9 @@ class SimulationController:
             jax.default_backend() == "tpu"
             and ad_ok
             and not self.antithetic
+            # Sobol books need the engine's inverse-CDF construction; the
+            # kernels draw from the hardware PRNG.
+            and self.sampler == "pseudo"
             and self.model.supports_pallas_paths(self.simulation_scheme)
             and blockable(self.num_paths_mainsim)
             and (
@@ -1727,7 +1745,8 @@ class SimulationController:
         if self.use_pallas is True and not eligible:
             raise ValueError(
                 "use_pallas=True but the configuration is not kernel-eligible "
-                "(needs TPU backend, no antithetic, a model kernel for the "
+                "(needs TPU backend, no antithetic, the pseudo sampler, a "
+                "model kernel for the "
                 "scheme — with AD support when differentiate=True — path "
                 "counts divisible by the device count, and an emission block "
                 "that fits VMEM)"

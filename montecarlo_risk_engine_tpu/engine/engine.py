@@ -65,12 +65,18 @@ def simulate_paths(
     transpose_states: bool = False,
     emit_schedule=None,
     collect_states: bool = True,
+    sampler: str = "pseudo",
 ):
     """Simulate states at each timeline point.
 
     phase: rng.PHASE_PRESIM or rng.PHASE_MAINSIM (reference engine.py:25).
     antithetic: pair each driver draw with its negation (uniforms with 1-u) —
     a variance-reduction feature the reference lacks; num_paths must be even.
+    sampler: "pseudo" (threefry, default) or "sobol" — a digitally-shifted
+    Sobol sequence where path p is sequence point p and each substep owns a
+    static block of dimensions (ops/sobol.py; another reference-absent
+    capability).  Mutually exclusive with antithetic (low-discrepancy points
+    are not negation-symmetric).
     remat: jax.checkpoint the per-point step so reverse-mode AD recomputes the
     in-step intermediates (RNG bits, noise, branch terms) instead of storing
     them — trades ~2x step FLOPs for O(state) instead of O(intermediates)
@@ -95,6 +101,11 @@ def simulate_paths(
     """
     if antithetic and num_paths % 2:
         raise ValueError("antithetic sampling requires an even num_paths")
+    if sampler not in ("pseudo", "sobol"):
+        raise ValueError(f"unknown sampler {sampler!r}")
+    if sampler == "sobol" and antithetic:
+        raise ValueError("sampler='sobol' is incompatible with antithetic "
+                         "(Sobol points are not negation-symmetric)")
     dtype = real_dtype()
     num_points = len(timeline)
     if num_points == 0:
@@ -110,6 +121,30 @@ def simulate_paths(
     phase_k = rng.phase_key(rng.root_key(root_seed), phase)
     sim_dim = model.simulation_dim
     needs_uniform = model.uses_uniforms(scheme)
+
+    if sampler == "sobol":
+        from montecarlo_risk_engine_tpu.ops.sobol import (
+            direction_numbers,
+            sobol_uniforms,
+        )
+        from jax.scipy.special import ndtri
+
+        # One dimension block per substep: the sim_dim driver normals plus
+        # the QE exp-mixture uniform when the scheme needs one.  The
+        # direction-number table is a HOST numpy constant (a trace-time
+        # device constant would round-trip through the remote relay).
+        qmc_dims_step = sim_dim + (1 if needs_uniform else 0)
+        qmc_vtab = direction_numbers(num_points * num_steps * qmc_dims_step)
+        qmc_shift = rng.qmc_shift(phase_k, qmc_vtab.shape[0])
+
+        def qmc_block(counter):
+            """Scrambled uniforms for this substep's dimensions: [N, dims]."""
+            off = counter * qmc_dims_step
+            v_k = jax.lax.dynamic_slice(
+                jnp.asarray(qmc_vtab), (off, 0), (qmc_dims_step, qmc_vtab.shape[1])
+            )
+            s_k = jax.lax.dynamic_slice(qmc_shift, (off,), (qmc_dims_step,))
+            return sobol_uniforms(num_paths, v_k, s_k, dtype)
 
     state0 = model.init_state(params, num_paths).astype(dtype)
     if path_sharding is not None:
@@ -128,7 +163,13 @@ def simulate_paths(
         t1 = t_prev + k * dt_safe
 
         counter = point_idx * num_steps + k
-        if antithetic:
+        qmc_uniform = None
+        if sampler == "sobol":
+            u_all = qmc_block(counter)
+            z = ndtri(u_all[:, :sim_dim])
+            if needs_uniform:
+                qmc_uniform = u_all[:, sim_dim]
+        elif antithetic:
             half = rng.normals(
                 rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL),
                 (num_paths // 2, sim_dim), dtype,
@@ -151,7 +192,9 @@ def simulate_paths(
 
         uniform = None
         if needs_uniform:
-            if antithetic:
+            if sampler == "sobol":
+                uniform = qmc_uniform
+            elif antithetic:
                 half_u = rng.uniforms(
                     rng.step_key(phase_k, counter, rng.PURPOSE_UNIFORM),
                     (num_paths // 2,), dtype,

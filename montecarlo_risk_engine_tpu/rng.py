@@ -24,6 +24,7 @@ PHASE_BRIDGE = 12345    # barrier Brownian-bridge stream (barrier_option.py:50)
 # Purpose identifiers within a step.
 PURPOSE_NORMAL = 0      # correlated Gaussian increments
 PURPOSE_UNIFORM = 1     # QE exp-mixture uniforms (heston.py:192)
+PURPOSE_QMC_SHIFT = 2   # per-dimension digital-shift words (ops/sobol.py)
 
 
 def root_key(seed: int = 0):
@@ -45,3 +46,16 @@ def normals(key, shape, dtype):
 
 def uniforms(key, shape, dtype):
     return jrandom.uniform(key, shape, dtype=dtype)
+
+
+def qmc_shift(phase, num_dims: int):
+    """Per-dimension 32-bit digital-shift words for the Sobol sampler.
+
+    Drawn once per phase from the same threefry tree as every other stream,
+    so scrambled-QMC runs keep the (root_seed, coordinates)-pure determinism
+    contract; presim/mainsim shifts are independent."""
+    import jax.numpy as jnp
+
+    return jrandom.bits(
+        step_key(phase, 0, PURPOSE_QMC_SHIFT), (num_dims,), dtype=jnp.uint32
+    )
