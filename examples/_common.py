@@ -18,7 +18,8 @@ import numpy as np
 PLOT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plots")
 
 
-def save_profile_plot(filename, timeline, curves, title, ylabel="exposure"):
+def save_profile_plot(filename, timeline, curves, title, ylabel="exposure",
+                      loglog=False, xlabel="time (years)"):
     """Save a profile plot; curves = {label: values}. Returns the path."""
     import matplotlib
 
@@ -29,7 +30,11 @@ def save_profile_plot(filename, timeline, curves, title, ylabel="exposure"):
     fig, ax = plt.subplots(figsize=(8, 4.5))
     for label, values in curves.items():
         ax.plot(timeline, values, marker="o", markersize=3, label=label)
-    ax.set_xlabel("time (years)")
+    if loglog:
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        xlabel = "num paths" if xlabel == "time (years)" else xlabel
+    ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.set_title(title)
     ax.grid(True, alpha=0.3)

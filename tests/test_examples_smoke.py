@@ -84,3 +84,12 @@ def test_heston_convergence_example_fast():
         "pv_heston_convergence", num_paths=4096, save_plot=True, steps=(1, 4)
     )
     assert path is not None and os.path.exists(path)
+
+
+def test_sobol_convergence_example_fast():
+    path, errors = _run_example(
+        "pv_sobol_convergence", save_plot=True, path_counts=(1024, 8192)
+    )
+    assert path is not None and os.path.exists(path)
+    # the QMC error should beat pseudo at the larger count
+    assert errors["scrambled Sobol"][-1] < errors["pseudo (threefry)"][-1]
