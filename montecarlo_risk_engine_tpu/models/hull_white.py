@@ -127,6 +127,66 @@ class HullWhiteModel(Model):
 
     step_milstein = step_euler
 
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        # Exact transition inversion on the x-factor (differentiable kernel
+        # path, ops/pallas_paths_ad.py).
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        sigma, a = params
+        dt = t2 - t1
+        x = state[:, 0:1] - self._alpha(params, t1)
+        x_next = next_state[:, 0:1] - self._alpha(params, t2)
+        if scheme == SimulationScheme.ANALYTICAL:
+            return x_next - x * jnp.exp(-a * dt)
+        return (x_next - x + a * x * dt) / (sigma * jnp.sqrt(dt))
+
+    # -- fused Pallas path generation ----------------------------------------
+
+    def supports_pallas_paths(self, scheme):
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        return scheme in (SimulationScheme.ANALYTICAL, SimulationScheme.EULER,
+                          SimulationScheme.MILSTEIN)
+
+    def supports_pallas_ad(self, scheme):
+        return self.supports_pallas_paths(scheme)
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0, rows_per_block=None):
+        """Fused curve-fitted-OU trajectory as a single "hw" block of the
+        hybrid kernel (ops/pallas_hybrid.py); state [T, N, 2] = [r, log_B].
+        The market curve is interpolated host-side at the static substep
+        times; only the traced (sigma, a) drift correction is SMEM math."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
+        )
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            pick_rows_per_block,
+        )
+
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=2 * len(timeline))
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        block = KernelBlock(
+            "hw",
+            "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
+            0, 2, 1,
+            curve_times=tuple(np.asarray(self.curve_times).tolist()),
+            curve_vals=tuple(np.asarray(self.log_dfs).tolist()),
+        )
+        params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
+        return hybrid_paths(
+            [block], np.eye(1), timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+            params_vec=params_vec,
+        )
+
     # -- observables -----------------------------------------------------------
 
     def bond_price(self, params, t1, t2, r_state, t_state=None):

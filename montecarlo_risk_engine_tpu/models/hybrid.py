@@ -218,6 +218,7 @@ class ModelConfig(Model):
             BlackScholesMulti,
         )
         from montecarlo_risk_engine_tpu.models.cirpp import CIRPPModel
+        from montecarlo_risk_engine_tpu.models.hull_white import HullWhiteModel
         from montecarlo_risk_engine_tpu.models.vasicek import VasicekModel
         from montecarlo_risk_engine_tpu.ops.pallas_hybrid import KernelBlock
 
@@ -239,6 +240,12 @@ class ModelConfig(Model):
                     kind, "euler", base, 2, 1,
                     hazard_tenors=tuple(np.asarray(m.tenors).tolist()),
                     hazard_rates=tuple(np.asarray(m.hazard_rates).tolist()),
+                ))
+            elif type(m) is HullWhiteModel:
+                blocks.append(KernelBlock(
+                    "hw", "euler", base, 2, 1,
+                    curve_times=tuple(np.asarray(m.curve_times).tolist()),
+                    curve_vals=tuple(np.asarray(m.log_dfs).tolist()),
                 ))
             else:
                 return None

@@ -136,6 +136,70 @@ class SchwartzTwoFactorModel(Model):
 
     step_milstein = step_euler  # constant diffusion coefficients
 
+    def invert_noise(self, params, scheme, t1, t2, state, next_state):
+        # Blockwise transition inversion for the differentiable kernel path:
+        # (x, y) are affine in the corr_noise columns, logS is derived.
+        _, kappa, sig_s, mu_l, sig_l, _ = self._unpack(params)
+        dt = t2 - t1
+        x, y = state[:, 1:2], state[:, 2:3]
+        x_n, y_n = next_state[:, 1:2], next_state[:, 2:3]
+        if scheme == SimulationScheme.ANALYTICAL:
+            near_zero = jnp.abs(kappa) < 1e-12
+            decay = jnp.where(near_zero, 1.0, jnp.exp(-kappa * dt))
+            nx = x_n - x * decay
+            ny = y_n - y - mu_l * dt
+        else:
+            sqrt_dt = jnp.sqrt(dt)
+            nx = (x_n - x + kappa * x * dt) / (sig_s * sqrt_dt)
+            ny = (y_n - y - mu_l * dt) / (sig_l * sqrt_dt)
+        return jnp.concatenate([nx, ny], axis=-1)
+
+    # -- fused Pallas path generation ----------------------------------------
+
+    def supports_pallas_paths(self, scheme):
+        return scheme in (SimulationScheme.ANALYTICAL, SimulationScheme.EULER,
+                          SimulationScheme.MILSTEIN)
+
+    def supports_pallas_ad(self, scheme):
+        return self.supports_pallas_paths(scheme)
+
+    def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
+                     seed, phase=0, block_offset=0, rows_per_block=None):
+        """Fused two-factor trajectory as a single "s2f" block of the hybrid
+        kernel (ops/pallas_hybrid.py); state [T, N, 3] = [logS, x, y].
+
+        rho is a traced parameter, so the block correlates its two raw
+        drivers in SMEM-scalar math instead of the static joint Cholesky —
+        standalone models only (ModelConfig excludes s2f blocks)."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
+        )
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            pick_rows_per_block,
+        )
+
+        rows = rows_per_block or pick_rows_per_block(
+            num_paths, outputs_per_path=3 * len(timeline))
+        if rows is None:
+            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        block = KernelBlock(
+            "s2f",
+            "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
+            0, 3, 2,
+            curve_times=tuple(np.asarray(self.curve_times).tolist()),
+            curve_vals=tuple(np.asarray(self.curve_values).tolist()),
+        )
+        params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
+        return hybrid_paths(
+            [block], np.eye(2), timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date, rows_per_block=rows,
+            params_vec=params_vec,
+        )
+
     def resolve_obs(self, params, kind, asset_id, t1, t2, state):
         # schwartz_two_factor.py:198-216 — constant-rate discounting.
         rate = params[0]

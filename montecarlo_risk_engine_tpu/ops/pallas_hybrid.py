@@ -50,12 +50,15 @@ from montecarlo_risk_engine_tpu.ops.pallas_paths import (
 class KernelBlock:
     """One sub-model's slice of the joint kernel.
 
-    kind: "bs" | "bs_multi" | "vasicek" | "cirpp" | "cirpp_det"
+    kind: "bs" | "bs_multi" | "vasicek" | "cirpp" | "cirpp_det" | "hw" | "s2f"
     scheme: "exact" | "euler" (cirpp: euler only; cirpp_det: no noise)
     param_base: offset of the block's parameters in the flat SMEM vector
     n_state / n_sim: state and driver-noise widths (bs_multi: both =
         num_assets, params [spots..., vols..., rate] per BlackScholesMulti)
     hazard_tenors / hazard_rates: static market hazard curve (cirpp only)
+    curve_times / curve_vals: static market curve (hw: log discount factors;
+        s2f: baseline forward values) — interpolated HOST-side at the static
+        substep times, so only the traced-param part of the drift is SMEM math
     """
 
     kind: str
@@ -65,6 +68,8 @@ class KernelBlock:
     n_sim: int
     hazard_tenors: Tuple[float, ...] = field(default=())
     hazard_rates: Tuple[float, ...] = field(default=())
+    curve_times: Tuple[float, ...] = field(default=())
+    curve_vals: Tuple[float, ...] = field(default=())
 
     def lambda_market(self, t: float) -> float:
         """Piecewise-constant hazard, flat beyond the last tenor — static
@@ -73,6 +78,33 @@ class KernelBlock:
             if t <= tenor:
                 return rate
         return self.hazard_rates[-1]
+
+    def _interp(self, t: float) -> float:
+        """Linear interior interpolation of curve_vals at t; linear-slope
+        extrapolation beyond the last pillar, flat before the first."""
+        import numpy as _np
+
+        ts, vs = _np.asarray(self.curve_times), _np.asarray(self.curve_vals)
+        if t > ts[-1]:
+            slope = (vs[-1] - vs[-2]) / (ts[-1] - ts[-2])
+            return float(vs[-1] + slope * (t - ts[-1]))
+        return float(_np.interp(t, ts, vs))
+
+    def hw_fwd0(self, t: float) -> float:
+        """Instantaneous market forward f(0,t) — host mirror of
+        HullWhiteModel._fwd0 (same central-difference eps on the same
+        flat-forward log-discount interpolation)."""
+        eps = 1e-5
+        return -(self._interp(t + eps) - self._interp(t - eps)) / (2.0 * eps)
+
+    def s2f_logf0(self, t: float) -> float:
+        """log of the baseline forward curve F0(t) — host mirror of
+        SchwartzTwoFactorModel._curve_value (flat extrapolation both ends
+        per jnp.interp semantics)."""
+        import numpy as _np
+
+        ts, vs = _np.asarray(self.curve_times), _np.asarray(self.curve_vals)
+        return float(_np.log(_np.interp(t, ts, vs)))
 
 
 def _cirpp_psi(p_ref, base: int, t: float, lam_mkt: float):
@@ -179,6 +211,19 @@ def hybrid_paths(
                     jnp.full(shape, lam0, jnp.float32),
                     jnp.zeros(shape, jnp.float32),
                 ])
+            elif b.kind == "hw":
+                r0 = b.hw_fwd0(calibration_date)
+                cols.append([
+                    jnp.full(shape, r0, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                ])
+            elif b.kind == "s2f":
+                log_f0 = b.s2f_logf0(calibration_date)
+                cols.append([
+                    jnp.full(shape, log_f0, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                ])
             else:  # pragma: no cover
                 raise ValueError(f"unknown kernel block kind {b.kind}")
 
@@ -274,6 +319,66 @@ def hybrid_paths(
                         log_b = log_b + lam_now * dt
                         y = jnp.full(shape, lam_next, jnp.float32)
                         cols[bi] = [y, log_b]
+                    elif b.kind == "hw":
+                        # Curve-fitted Gaussian short rate on the x-factor
+                        # (hull_white.py:108-130): alpha(t) = f_mkt(0,t) +
+                        # (sigma^2/2a^2)(1-e^{-a(t-t0)})^2 with f_mkt static.
+                        sigma, a = p_ref[base], p_ref[base + 1]
+                        r, log_b = cols[bi]
+                        log_b = log_b + r * dt
+                        s2a = sigma * sigma / (2.0 * a * a)
+                        d1 = t1 - calibration_date
+                        d2 = d1 + dt
+                        alpha1 = b.hw_fwd0(t1) + s2a * (1.0 - jnp.exp(-a * d1)) ** 2
+                        alpha2 = b.hw_fwd0(t1 + dt) \
+                            + s2a * (1.0 - jnp.exp(-a * d2)) ** 2
+                        x = r - alpha1
+                        if b.scheme == "exact":
+                            decay = jnp.exp(-a * dt)
+                            scale = jnp.sqrt(
+                                (sigma * sigma / (2.0 * a))
+                                * (1.0 - decay * decay)
+                            )
+                            x = x * decay + scale * w
+                        else:
+                            x = x - a * x * dt + sigma * sqrt_dt * w
+                        cols[bi] = [x + alpha2, log_b]
+                    elif b.kind == "s2f":
+                        # Schwartz 2F around the baseline curve
+                        # (schwartz_two_factor.py:115-136).  The intra-factor
+                        # correlation rho is a TRACED param, so it cannot sit
+                        # in the static joint Cholesky: this block draws two
+                        # RAW drivers and correlates them in SMEM-scalar math
+                        # (standalone models only — ModelConfig excludes s2f).
+                        kappa, sig_s, mu_l, sig_l, rho = (
+                            p_ref[base + 1], p_ref[base + 2],
+                            p_ref[base + 3], p_ref[base + 4], p_ref[base + 5],
+                        )
+                        w2 = ws[noff + 1]
+                        log_s, x, y = cols[bi]
+                        rho_c = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+                        if b.scheme == "exact":
+                            # kappa -> 0 limit guard (schwartz_two_factor.py
+                            # covariance_matrix / step_analytical)
+                            near0 = jnp.abs(kappa) < 1e-12
+                            k_safe = jnp.where(near0, 1.0, kappa)
+                            decay = jnp.where(near0, 1.0, jnp.exp(-kappa * dt))
+                            var_s = jnp.where(
+                                near0,
+                                sig_s * sig_s * dt,
+                                (sig_s * sig_s / (2.0 * k_safe))
+                                * (1.0 - decay * decay),
+                            )
+                            std_x = jnp.sqrt(var_s)
+                            std_y = sig_l * jnp.sqrt(dt)
+                            x = x * decay + std_x * w
+                            y = y + mu_l * dt + std_y * (rho * w + rho_c * w2)
+                        else:
+                            x = x - kappa * x * dt + sig_s * sqrt_dt * w
+                            y = y + mu_l * dt \
+                                + sig_l * sqrt_dt * (rho * w + rho_c * w2)
+                        log_s = b.s2f_logf0(t1 + dt) + x + y
+                        cols[bi] = [log_s, x, y]
                     noff += b.n_sim
 
             # emit this point's state columns

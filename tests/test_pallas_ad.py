@@ -21,7 +21,9 @@ from montecarlo_risk_engine_tpu import (
     BlackScholesModel,
     BlackScholesMulti,
     CIRPPModel,
+    HullWhiteModel,
     ModelConfig,
+    SchwartzTwoFactorModel,
     SimulationScheme,
     VasicekModel,
 )
@@ -76,6 +78,37 @@ def _models():
             ),
             SimulationScheme.EULER,
         ),
+        "hw": (
+            # round-3: curve-fitted Hull-White kernel block
+            HullWhiteModel(0.0, [0.0, 2.0, 5.0], [1.0, 0.94, 0.85],
+                           volatility=0.01, mean_reversion=0.4,
+                           asset_id="irs"),
+            SimulationScheme.ANALYTICAL,
+        ),
+        "s2f": (
+            # round-3: Schwartz 2F kernel block (traced-rho in-block combine)
+            SchwartzTwoFactorModel(
+                0.0, [0.0, 1.0, 3.0], [50.0, 52.0, 55.0], rate=0.03,
+                short_term_mean_reversion=1.2, short_term_vol=0.3,
+                long_term_drift=0.01, long_term_vol=0.15, rho=0.35,
+                asset_id="gas",
+            ),
+            SimulationScheme.ANALYTICAL,
+        ),
+        "hybrid_hw": (
+            # round-3: Hull-White block inside the hybrid container
+            ModelConfig(
+                [
+                    HullWhiteModel(0.0, [0.0, 2.0, 5.0], [1.0, 0.94, 0.85],
+                                   volatility=0.01, mean_reversion=0.4,
+                                   asset_id="irs"),
+                    BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22,
+                                      asset_id="eq"),
+                ],
+                inter_asset_correlation_matrix=[np.array([[0.3]])],
+            ),
+            SimulationScheme.EULER,
+        ),
         "hybrid_multi": (
             # round-3: BlackScholesMulti as a hybrid kernel block (intra
             # correlation folds into the static joint factor)
@@ -121,7 +154,7 @@ def _wrap_and_direct(model, scheme):
 
 
 @pytest.mark.parametrize("name", ["bs", "bs_multi", "vasicek", "cirpp", "hybrid",
-                                  "hybrid_multi"])
+                                  "hybrid_multi", "hw", "s2f", "hybrid_hw"])
 def test_recovered_noise_tangent_matches_direct_ad(name):
     model, scheme = _models()[name]
     wrapped, direct = _wrap_and_direct(model, scheme)
