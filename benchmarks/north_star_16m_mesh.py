@@ -33,9 +33,18 @@ sys.path.insert(0, ".")
 
 def main(num_paths: int = 16_777_216, n_devices: int = 8, aad: bool = False,
          hessian: bool = False, chunk: int = 4, presim=None):
+    # The in-process CPU collectives rendezvous aborts the program when a
+    # participant is >40s late; on a 1-core rehearsal host the n virtual
+    # devices timeshare that core, so 2M+ paths of per-device work between
+    # all-reduces legitimately exceeds it (observed SIGABRT at 2M, op_id=942).
+    # Real multi-chip meshes give each participant its own chip; here we
+    # raise the timeouts instead.
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"
+        + " --xla_cpu_collective_timeout_seconds=7200"
+        + " --xla_cpu_collective_call_warn_stuck_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
     ).strip()
     import jax
 
