@@ -43,7 +43,6 @@ def main(num_paths: int = 16_777_216, n_devices: int = 8, aad: bool = False,
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"
         + " --xla_cpu_collective_timeout_seconds=7200"
-        + " --xla_cpu_collective_call_warn_stuck_seconds=600"
         + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
     ).strip()
     import jax
