@@ -30,9 +30,6 @@ from montecarlo_risk_engine_tpu.config import asarray, real_dtype
 from montecarlo_risk_engine_tpu.models.base import Model
 from montecarlo_risk_engine_tpu.requests import AtomicRequest, AtomicRequestType
 
-_FD_EPS = 1e-5
-
-
 class HullWhiteModel(Model):
     def __init__(
         self,
@@ -52,6 +49,21 @@ class HullWhiteModel(Model):
             raise ValueError("Provide >= 2 curve pillars with matching lengths.")
         self.curve_times = asarray([float(t) for t in curve_times])
         self.log_dfs = jnp.log(asarray([float(v) for v in curve_discount_factors]))
+        # Piecewise-constant instantaneous forwards, precomputed HOST-side in
+        # f64: segment k covers [t_k, t_{k+1}) with f = -dlogP/dt (flat-forward
+        # convention; right-continuous at pillars, last slope extrapolated).
+        # A runtime central difference of logP in f32 loses ~2 digits to
+        # cancellation AND disagrees with the Pallas kernel's f64 host mirror
+        # (ops/pallas_hybrid.py hw_fwd0) — the recovered driver noise then
+        # absorbs the offset as c/scale(sigma), injecting spurious vega into
+        # the differentiated kernel path (found by CRN-FD on hardware).
+        import numpy as _np
+
+        _t = _np.asarray([float(t) for t in curve_times], dtype=_np.float64)
+        _lp = _np.log(_np.asarray([float(v) for v in curve_discount_factors],
+                                  dtype=_np.float64))
+        self._fwd_segs_host = -_np.diff(_lp) / _np.diff(_t)
+        self._fwd_segs = asarray(self._fwd_segs_host)
         self._init = (float(volatility), float(mean_reversion))
 
     @classmethod
@@ -78,8 +90,17 @@ class HullWhiteModel(Model):
         return jnp.where(t > self.curve_times[-1], beyond, inside)
 
     def _fwd0(self, t):
-        """Instantaneous market forward f(0,t) by central difference."""
-        return -(self._log_p0(t + _FD_EPS) - self._log_p0(t - _FD_EPS)) / (2.0 * _FD_EPS)
+        """Instantaneous market forward f(0,t): exact segment-slope lookup.
+
+        Right-continuous at pillars, first/last slope beyond the ends — the
+        identical table (and convention) the Pallas kernel's host mirror
+        reads (ops/pallas_hybrid.py hw_fwd0), so the differentiated kernel
+        path's noise inversion sees EXACTLY the alpha the kernel used."""
+        idx = jnp.clip(
+            jnp.searchsorted(self.curve_times, jnp.asarray(t), side="right") - 1,
+            0, self._fwd_segs.shape[0] - 1,
+        )
+        return self._fwd_segs[idx]
 
     def _alpha(self, params, t):
         sigma, a = params
@@ -172,12 +193,16 @@ class HullWhiteModel(Model):
             num_paths, outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        # curve_vals carries the f64 HOST segment-forward table (not log
+        # discount factors): hw_fwd0 must return bit-identical values to the
+        # model's _fwd0 lookup or the AD noise inversion sees a different
+        # alpha than the kernel used (spurious vega — see __init__).
         block = KernelBlock(
             "hw",
             "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
             0, 2, 1,
-            curve_times=tuple(np.asarray(self.curve_times).tolist()),
-            curve_vals=tuple(np.asarray(self.log_dfs).tolist()),
+            curve_times=tuple(float(t) for t in np.asarray(self.curve_times, dtype=np.float64)),
+            curve_vals=tuple(float(f) for f in self._fwd_segs_host),
         )
         params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
         return hybrid_paths(

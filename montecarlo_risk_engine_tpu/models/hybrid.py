@@ -242,10 +242,14 @@ class ModelConfig(Model):
                     hazard_rates=tuple(np.asarray(m.hazard_rates).tolist()),
                 ))
             elif type(m) is HullWhiteModel:
+                # curve_vals = the f64 host segment-forward table shared with
+                # the model's _fwd0 lookup (see hull_white.py pallas_paths).
                 blocks.append(KernelBlock(
                     "hw", "euler", base, 2, 1,
-                    curve_times=tuple(np.asarray(m.curve_times).tolist()),
-                    curve_vals=tuple(np.asarray(m.log_dfs).tolist()),
+                    curve_times=tuple(
+                        float(t) for t in np.asarray(m.curve_times, dtype=np.float64)
+                    ),
+                    curve_vals=tuple(float(f) for f in m._fwd_segs_host),
                 ))
             else:
                 return None

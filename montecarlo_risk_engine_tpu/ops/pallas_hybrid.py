@@ -56,9 +56,10 @@ class KernelBlock:
     n_state / n_sim: state and driver-noise widths (bs_multi: both =
         num_assets, params [spots..., vols..., rate] per BlackScholesMulti)
     hazard_tenors / hazard_rates: static market hazard curve (cirpp only)
-    curve_times / curve_vals: static market curve (hw: log discount factors;
-        s2f: baseline forward values) — interpolated HOST-side at the static
-        substep times, so only the traced-param part of the drift is SMEM math
+    curve_times / curve_vals: static market curve (hw: f64 piecewise-constant
+        segment forwards, one per pillar interval; s2f: baseline forward
+        values) — evaluated HOST-side at the static substep times, so only
+        the traced-param part of the drift is SMEM math
     """
 
     kind: str
@@ -73,29 +74,38 @@ class KernelBlock:
 
     def lambda_market(self, t: float) -> float:
         """Piecewise-constant hazard, flat beyond the last tenor — static
-        (host) mirror of CIRPPModel._lambda_market."""
+        (host) mirror of CIRPPModel._lambda_market.  Tenor comparison is
+        quantized to f32 to match the device searchsorted exactly (a segment
+        mismatch at a straddling substep feeds the AD noise inversion a
+        different drift than the kernel used)."""
+        import numpy as _np
+
+        t32 = _np.float32(t)
         for tenor, rate in zip(self.hazard_tenors, self.hazard_rates):
-            if t <= tenor:
+            if t32 <= _np.float32(tenor):
                 return rate
         return self.hazard_rates[-1]
 
-    def _interp(self, t: float) -> float:
-        """Linear interior interpolation of curve_vals at t; linear-slope
-        extrapolation beyond the last pillar, flat before the first."""
-        import numpy as _np
-
-        ts, vs = _np.asarray(self.curve_times), _np.asarray(self.curve_vals)
-        if t > ts[-1]:
-            slope = (vs[-1] - vs[-2]) / (ts[-1] - ts[-2])
-            return float(vs[-1] + slope * (t - ts[-1]))
-        return float(_np.interp(t, ts, vs))
-
     def hw_fwd0(self, t: float) -> float:
         """Instantaneous market forward f(0,t) — host mirror of
-        HullWhiteModel._fwd0 (same central-difference eps on the same
-        flat-forward log-discount interpolation)."""
-        eps = 1e-5
-        return -(self._interp(t + eps) - self._interp(t - eps)) / (2.0 * eps)
+        HullWhiteModel._fwd0.  curve_vals carries the model's f64 host
+        segment-forward table directly (curve_times the pillars), so both
+        sides read the SAME piecewise-constant value: right-continuous at
+        pillars, first/last segment beyond the ends.  Any value gap here
+        reappears as spurious sigma-sensitivity through the AD path's noise
+        inversion (c/scale contamination — hull_white.py __init__)."""
+        import numpy as _np
+
+        # Segment choice quantized to f32: the model's device lookup compares
+        # f32(t) against f32 pillars, so a point that straddles a pillar only
+        # in f64 must land on the same segment here.
+        ts = _np.asarray(self.curve_times, dtype=_np.float32)
+        fwds = _np.asarray(self.curve_vals, dtype=_np.float64)
+        idx = int(_np.clip(
+            _np.searchsorted(ts, _np.float32(t), side="right") - 1,
+            0, len(fwds) - 1,
+        ))
+        return float(fwds[idx])
 
     def s2f_logf0(self, t: float) -> float:
         """log of the baseline forward curve F0(t) — host mirror of

@@ -303,3 +303,46 @@ def test_dense_engine_equals_coarse_engine():
                             NUM_STEPS, rng.PHASE_MAINSIM, root_seed=7)
     np.testing.assert_allclose(np.asarray(fine[np.asarray(idx)]),
                                np.asarray(coarse), rtol=1e-12, atol=1e-14)
+
+
+def test_hw_forward_table_host_mirror_matches_device():
+    """The HW kernel block's host-side f(0,t) mirror must return EXACTLY the
+    value the model's device lookup produces at every static substep time —
+    any gap feeds the AD noise inversion a different alpha than the kernel
+    used and reappears as spurious vega ~ c/sigma (found on hardware via
+    CRN-FD: the old central-difference-of-logP device path lost ~2 digits to
+    f32 cancellation against the f64 host mirror)."""
+    from montecarlo_risk_engine_tpu import HullWhiteModel
+    from montecarlo_risk_engine_tpu.ops.pallas_hybrid import KernelBlock
+
+    times = [0.0, 1.37, 3.1, 5.0]
+    dfs = [1.0, 0.958, 0.901, 0.842]
+    model = HullWhiteModel(0.0, times, dfs, volatility=0.01,
+                           mean_reversion=0.4, asset_id="irs")
+    block = KernelBlock(
+        "hw", "exact", 0, 2, 1,
+        curve_times=tuple(times),
+        curve_vals=tuple(float(f) for f in model._fwd_segs_host),
+    )
+
+    # pillars, interiors, straddles (f64 just below a pillar that rounds onto
+    # it in f32 — both sides must pick the same segment), and extrapolation
+    probe = [0.0, 0.5, 1.37, float(np.nextafter(np.float32(1.37), 0.0)),
+             2.0, 3.1, 4.2, 5.0, 7.5]
+    # device lookup at f32 precision (the TPU kernel's runtime dtype)
+    dev_times = jnp.asarray(times, dtype=jnp.float32)
+    dev_segs = jnp.asarray(model._fwd_segs_host, dtype=jnp.float32)
+    for t in probe:
+        idx = int(jnp.clip(
+            jnp.searchsorted(dev_times, jnp.float32(t), side="right") - 1,
+            0, dev_segs.shape[0] - 1,
+        ))
+        dev = float(dev_segs[idx])
+        host = block.hw_fwd0(t)
+        assert np.float32(host) == np.float32(dev), (t, host, dev)
+
+    # the table itself is the exact f64 segment slope of log P
+    lp = np.log(np.asarray(dfs, dtype=np.float64))
+    expect = -np.diff(lp) / np.diff(np.asarray(times, dtype=np.float64))
+    np.testing.assert_allclose(np.asarray(model._fwd_segs_host), expect,
+                               rtol=0, atol=0)

@@ -464,9 +464,10 @@ def test_pallas_hull_white_bond_matches_engine():
         )
 
     c_p, c_s = make(True), make(False)
-    assert c_p._pallas_active and not c_s._pallas_active
     pv_p = float(c_p.run_simulation().get_results("bond", "pv", evaluation_idx=0))
     r_s = c_s.run_simulation()
+    # the streaming/Pallas decision is lazy (first run_simulation call)
+    assert c_p._pallas_active and not c_s._pallas_active
     pv_s = float(r_s.get_results("bond", "pv", evaluation_idx=0))
     se_s = float(r_s.get_mc_error("bond", "pv", evaluation_idx=0))
     assert abs(pv_p - pv_s) < 4 * se_s + 1e-4, (pv_p, pv_s)
@@ -476,16 +477,30 @@ def test_pallas_hull_white_bond_matches_engine():
     # assertion above is the sharp oracle.
     assert abs(pv_s - 0.90) < 5e-3, pv_s
 
-    # differentiated kernel path: vega finite and consistent with the engine
+    # Differentiated kernel path.  The EXACT HW bond vega is 0 (the model
+    # reprices the curve for any vol), so the pathwise estimate is pure MC
+    # noise (~1e-3 scatter at 2^20 f32 paths, measured across seeds) —
+    # comparing two independent streams (kernel vs engine) is a ~0/0 test.
+    # The sharp oracle is common-random-number central FD of the SAME kernel
+    # stream: the hardware draws depend only on (seed, phase, block), so the
+    # noise cancels pathwise and the residual is O(h^2) + f32 reduction jitter.
     c_pd = make(True, differentiate=True)
-    assert c_pd._pallas_active
     g_p = c_pd.run_simulation().get_derivatives("bond", "pv", evaluation_idx=0)
-    c_sd = make(False, differentiate=True)
-    g_s = c_sd.run_simulation().get_derivatives("bond", "pv", evaluation_idx=0)
+    assert c_pd._pallas_active
+    params = tuple(c_pd.model.initial_params())
+    names = list(c_pd.model.get_model_param_names())
     for name in ("volatility", "mean_reversion"):
-        a, b = float(g_p[name]), float(g_s[name])
-        assert np.isfinite(a) and np.isfinite(b)
-        assert abs(a - b) < 0.1 * max(abs(a), abs(b)) + 1e-3, (name, a, b)
+        j = names.index(name)
+        h = 1e-3 * max(1.0, abs(float(params[j])))
+        bump = lambda s: tuple(
+            p + (s * h if k == j else 0.0) for k, p in enumerate(params)
+        )
+        up, _ = c_pd._jitted_values(bump(+1))
+        dn, _ = c_pd._jitted_values(bump(-1))
+        fd = (float(up[0]) - float(dn[0])) / (2 * h)
+        aad = float(g_p[name])
+        assert np.isfinite(aad)
+        assert abs(aad - fd) < 2e-3 * max(1.0, abs(fd)) + 2e-4, (name, aad, fd)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
@@ -516,8 +531,9 @@ def test_pallas_schwartz_2f_matches_engine():
         )
 
     c_p, c_s = make(True), make(False)
-    assert c_p._pallas_active and not c_s._pallas_active
     r_p, r_s = c_p.run_simulation(), c_s.run_simulation()
+    # the streaming/Pallas decision is lazy (first run_simulation call)
+    assert c_p._pallas_active and not c_s._pallas_active
     pv_p = float(r_p.get_results("book", "pv", evaluation_idx=0))
     pv_s = float(r_s.get_results("book", "pv", evaluation_idx=0))
     se = float(np.hypot(
