@@ -221,6 +221,19 @@ class SimulationController:
         self.requires_regression = any(
             self._product_requires_regression(p) for p in self.products
         )
+        if self.requires_regression and self.num_paths_presim <= 0:
+            # Fail at construction, not as a KeyError deep inside the traced
+            # exposure evaluation (aux subsystem 5.3, failure detection).
+            offenders = [
+                type(p).__name__ for p in self.products
+                if self._product_requires_regression(p)
+            ]
+            raise ValueError(
+                "num_paths_presim must be > 0: the book needs least-squares "
+                "regression fits (early exercise or LSM exposure profiles) "
+                f"for {sorted(set(offenders))}, and the regression phase "
+                "draws its own pre-simulation paths"
+            )
 
         # Family-batched executors: one table-driven kernel per product group
         # instead of per-product subgraphs (api/batching.py).  Enabled for

@@ -296,3 +296,24 @@ def test_analytical_evaluation_type_rejected_at_construction():
             num_steps=1,
             simulation_scheme=SimulationScheme.ANALYTICAL,
         )
+
+
+def test_regression_book_without_presim_rejected_at_construction():
+    """A book that needs LSM regression fits (early exercise) with
+    num_paths_presim=0 used to fail as an opaque error deep inside the
+    traced exposure evaluation; it must raise at construction instead."""
+    from montecarlo_risk_engine_tpu import AmericanOption
+
+    model = BlackScholesModel(0.0, 100.0, 0.03, 0.2, asset_id="eq")
+    option = AmericanOption(Equity("eq"), 1.0, 10, 100.0, OptionType.PUT,
+                            asset_id="eq")
+    with pytest.raises(ValueError, match="num_paths_presim must be > 0"):
+        SimulationController(
+            netting_sets=[NettingSet(name="book", products=[option])],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=64,
+            num_paths_presim=0,
+            num_steps=10,
+            simulation_scheme=SimulationScheme.EULER,
+        )
