@@ -64,6 +64,14 @@ from montecarlo_risk_engine_tpu.utils.regression import (
 
 logger = logging.getLogger(__name__)
 
+# AUTO-mode kernel activation floors — see the cost gate in
+# SimulationController._decide_pallas: the kernel switches on when the book
+# has at least this many paths (path-bound regardless of timeline) OR this
+# many path-steps (paths x timeline points x substeps; catches few-path books
+# with enormous timelines where the scan engine's sequential cost dominates).
+_PALLAS_AUTO_MIN_PATHS = 1 << 16
+_PALLAS_AUTO_MIN_PATH_STEPS = 1 << 25
+
 
 class SimulationController:
     def __init__(
@@ -1667,7 +1675,9 @@ class SimulationController:
                     "plane that streaming mode avoids"
                 )
             return False
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import pick_rows_per_block
+        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+            pick_rows_for_model,
+        )
 
         # emission size per path: the whole trajectory block must fit scoped
         # VMEM (pick_rows_per_block shrinks the block, or bails to the XLA
@@ -1700,7 +1710,10 @@ class SimulationController:
         def blockable(num_paths):
             if num_paths % n_dev:
                 return False
-            return pick_rows_per_block(num_paths // n_dev,
+            # Time-chunked kernels (the hybrid kernel family) stream their
+            # emissions, so any timeline length fits; single-pass kernels
+            # must fit the whole trajectory block in VMEM.
+            return pick_rows_for_model(self.model, num_paths // n_dev,
                                        outputs_per_path=outputs) is not None
 
         eligible = (
@@ -1717,6 +1730,27 @@ class SimulationController:
                 or blockable(self.num_paths_presim)
             )
         )
+        if eligible and self.use_pallas == "auto":
+            # Cost gate for AUTO mode only (use_pallas=True always forces an
+            # eligible kernel on): activate the kernel when path generation
+            # is worth fusing.  The kernel's benefit scales with path-steps
+            # (measured on v5e: XLA scan engine ~7.1e8 path-steps/s, kernel
+            # ~1.41e9 — BENCH_NOTES), while its COST is the Mosaic compile of
+            # the fully-unrolled step loop, which grows with timeline length
+            # (a 688-point book costs minutes cold).  Product-bound books
+            # (the 5k-product CVA harness: 1,000 paths x 688 points, warm
+            # 2.4s either way, cold 90s engine vs 780s kernel) therefore stay
+            # on the engine; path-bound books (1M x 59 north star, the 262k
+            # statistical suites) switch on via either arm.
+            path_steps = (
+                self.num_paths_mainsim
+                * len(self.simulation_timeline)
+                * max(1, self.num_steps)
+            )
+            eligible = (
+                self.num_paths_mainsim >= _PALLAS_AUTO_MIN_PATHS
+                or path_steps >= _PALLAS_AUTO_MIN_PATH_STEPS
+            )
         if eligible and self.differentiate:
             # AD-wrapper peak memory (coarse-boundary layout,
             # ops/pallas_paths_ad.py): the dense primal plane + its shifted

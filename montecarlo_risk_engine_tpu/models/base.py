@@ -129,6 +129,14 @@ class Model:
 
     # -- fused Pallas path generation (TPU fast path) -----------------------
 
+    #: Whether this model's kernel streams its emissions to HBM in time
+    #: chunks (ops/pallas_hybrid.py), making ANY timeline length
+    #: kernel-eligible.  Single-pass kernels (ops/pallas_paths.py) must fit
+    #: the whole [T, D, rows, 128] trajectory block in scoped VMEM, so the
+    #: eligibility gate shrinks their block or falls back to the XLA engine
+    #: (pick_rows_per_block).
+    pallas_time_chunked = False
+
     def supports_pallas_paths(self, scheme: SimulationScheme) -> bool:
         """Whether a fused hardware-PRNG Pallas kernel exists for this model
         and scheme (ops/pallas_paths.py).  Forward-only: the controller uses

@@ -172,6 +172,9 @@ class HullWhiteModel(Model):
     def supports_pallas_ad(self, scheme):
         return self.supports_pallas_paths(scheme)
 
+    # the hybrid kernel streams emissions in time chunks: any timeline length
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
         """Fused curve-fitted-OU trajectory as a single "hw" block of the
@@ -185,14 +188,7 @@ class HullWhiteModel(Model):
             KernelBlock,
             hybrid_paths,
         )
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            pick_rows_per_block,
-        )
-
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=2 * len(timeline))
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        rows = rows_per_block or 256
         # curve_vals carries the f64 HOST segment-forward table (not log
         # discount factors): hw_fwd0 must return bit-identical values to the
         # model's _fwd0 lookup or the AD noise inversion sees a different

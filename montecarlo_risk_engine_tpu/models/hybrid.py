@@ -300,23 +300,19 @@ class ModelConfig(Model):
                     for m in self.models)
         )
 
+    # the hybrid kernel streams emissions in time chunks: any timeline length
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
         """Joint fused trajectory via the hybrid kernel
         (ops/pallas_hybrid.py); state [T, N, state_dim] in block order."""
         from montecarlo_risk_engine_tpu.ops.pallas_hybrid import hybrid_paths
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            pick_rows_per_block,
-        )
 
         blocks = self._kernel_blocks()
         if blocks is None:
             raise ValueError("hybrid kernel unsupported for this block set")
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=len(timeline) * self.state_dim
-        )
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        rows = rows_per_block or 256
         chol = np.linalg.cholesky(self._static_joint_correlation())
         params_vec = jnp.stack(
             [jnp.asarray(p, dtype=jnp.float32) for p in params]

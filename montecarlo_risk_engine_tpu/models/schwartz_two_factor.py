@@ -163,6 +163,9 @@ class SchwartzTwoFactorModel(Model):
     def supports_pallas_ad(self, scheme):
         return self.supports_pallas_paths(scheme)
 
+    # the hybrid kernel streams emissions in time chunks: any timeline length
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
         """Fused two-factor trajectory as a single "s2f" block of the hybrid
@@ -177,14 +180,7 @@ class SchwartzTwoFactorModel(Model):
             KernelBlock,
             hybrid_paths,
         )
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            pick_rows_per_block,
-        )
-
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=3 * len(timeline))
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
+        rows = rows_per_block or 256
         block = KernelBlock(
             "s2f",
             "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",

@@ -133,6 +133,23 @@ def _cirpp_psi(p_ref, base: int, t: float, lam_mkt: float):
     return lam_mkt + d_t - y0 * e_t
 
 
+def _time_chunk_points(state_dim: int, rows_per_block: int) -> int:
+    """Timeline points per emission chunk: the out block per grid step is
+    [tc, state_dim, rows, 128] f32 and must fit the scoped-VMEM block budget
+    (double-buffered by the pipeline).  The grid's sequential minor dimension
+    walks the timeline, so ANY timeline length is kernel-eligible — long
+    timelines just take more chunks (round-3: the 5k-product CVA book's
+    688-point timeline used to fall back to the XLA engine because the whole
+    [T, D, rows, 128] trajectory had to live in VMEM at once)."""
+    from montecarlo_risk_engine_tpu.ops.pallas_paths import (
+        _VMEM_BLOCK_BUDGET_BYTES,
+    )
+
+    return max(
+        1, _VMEM_BLOCK_BUDGET_BYTES // (state_dim * rows_per_block * _LANES * 4)
+    )
+
+
 def hybrid_paths(
     blocks: Sequence[KernelBlock],
     chol,  # [sim_dim, sim_dim] static lower-triangular joint factor
@@ -145,12 +162,22 @@ def hybrid_paths(
     calibration_date: float = 0.0,
     rows_per_block: int = 256,
     params_vec=None,
+    time_chunk_points: int = None,
 ):
     """Joint states at timeline points: [T, N, D_state_total] f32.
 
     ``params_vec``: flat [P] f32 vector of every block's parameters (may be
     traced), indexed by each block's ``param_base``.
-    """
+
+    Emission is TIME-CHUNKED: the grid is (path_blocks, time_chunks) with the
+    time axis iterated sequentially (the TPU grid's minor dimension), state
+    columns carried across chunks in a VMEM scratch, and the hardware PRNG
+    seeded once per path block (its register state persists across grid
+    steps).  The spare Box–Muller half-pair is also carried in scratch, and
+    whether one is pending at a chunk boundary is static (draw count is a
+    pure function of the timeline), so the draw stream per (seed, phase,
+    global block) is EXACTLY invariant to the chunking — pinned bitwise by
+    tests/test_pallas_kernel_tpu.py."""
     import numpy as _np
 
     chol = _np.asarray(chol, dtype=_np.float64)
@@ -177,12 +204,19 @@ def hybrid_paths(
         t_prev = t
     num_points = len(points)
 
-    def kernel(seed_ref, p_ref, out_ref):
-        blk = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] + blk)
-        shape = (rows_per_block, _LANES)
+    tc = time_chunk_points or _time_chunk_points(state_dim, rows_per_block)
+    tc = max(1, min(tc, num_points))
+    n_tchunks = -(-num_points // tc)
+    # draws consumed before each point — static, so whether a spare
+    # Box–Muller half-pair is pending at a chunk boundary is compile-time
+    draws_before = [0]
+    for p in range(num_points):
+        draws_before.append(draws_before[-1] + len(substeps[p]) * sim_dim)
 
-        # -- initial per-block state columns (VMEM registers) --------------
+    def _spare_pending(chunk: int) -> bool:
+        return (draws_before[chunk * tc] % 2) == 1
+
+    def _init_cols(p_ref, shape):
         cols: List = []
         for b in blocks:
             base = b.param_base
@@ -236,20 +270,10 @@ def hybrid_paths(
                 ])
             else:  # pragma: no cover
                 raise ValueError(f"unknown kernel block kind {b.kind}")
+        return cols
 
-        pending = [None]  # spare Box-Muller draw shared across substeps
-
-        def draw():
-            if pending[0] is None:
-                z_a, z_b = _normal_pair(shape)
-                pending[0] = z_b
-                return z_a
-            z = pending[0]
-            pending[0] = None
-            return z
-
-        for point in range(num_points):
-            for t1, dt in substeps[point]:
+    def _run_point(p_ref, cols, draw, subs, shape):
+        for t1, dt in subs:
                 zs = [draw() for _ in range(sim_dim)]
                 # static joint Cholesky combine (lower triangular)
                 ws = [
@@ -390,37 +414,96 @@ def hybrid_paths(
                         log_s = b.s2f_logf0(t1 + dt) + x + y
                         cols[bi] = [log_s, x, y]
                     noff += b.n_sim
+        return cols
 
-            # emit this point's state columns
-            col_idx = 0
-            for bi, b in enumerate(blocks):
-                for c in cols[bi]:
-                    if b.kind in ("bs", "bs_multi") and b.scheme == "exact":
-                        out_ref[point, col_idx] = jnp.exp(c)
-                    else:
-                        out_ref[point, col_idx] = c
-                    col_idx += 1
+    def kernel(seed_ref, p_ref, out_ref, carry_ref):
+        blk = pl.program_id(0)
+        tch = pl.program_id(1)
+        shape = (rows_per_block, _LANES)
+
+        def load_cols():
+            cols, idx = [], 0
+            for b in blocks:
+                cols.append([carry_ref[idx + d] for d in range(b.n_state)])
+                idx += b.n_state
+            return cols
+
+        for chunk in range(n_tchunks):
+            lo = chunk * tc
+            hi = min(num_points, (chunk + 1) * tc)
+
+            @pl.when(tch == chunk)
+            def _(chunk=chunk, lo=lo, hi=hi):
+                if chunk == 0:
+                    # one seed per path block; the PRNG register state then
+                    # persists across this block's time chunks
+                    pltpu.prng_seed(seed_ref[0], seed_ref[1] + blk)
+                    cols = _init_cols(p_ref, shape)
+                    pending = [None]
+                else:
+                    cols = load_cols()
+                    pending = (
+                        [carry_ref[state_dim]] if _spare_pending(chunk)
+                        else [None]
+                    )
+
+                def draw():
+                    if pending[0] is None:
+                        z_a, z_b = _normal_pair(shape)
+                        pending[0] = z_b
+                        return z_a
+                    z = pending[0]
+                    pending[0] = None
+                    return z
+
+                for point in range(lo, hi):
+                    cols = _run_point(p_ref, cols, draw, substeps[point], shape)
+                    # emit this point's state columns into the chunk block
+                    col_idx = 0
+                    for bi, b in enumerate(blocks):
+                        for c in cols[bi]:
+                            if b.kind in ("bs", "bs_multi") and b.scheme == "exact":
+                                out_ref[point - lo, col_idx] = jnp.exp(c)
+                            else:
+                                out_ref[point - lo, col_idx] = c
+                            col_idx += 1
+
+                if chunk + 1 < n_tchunks:
+                    idx = 0
+                    for bi, b in enumerate(blocks):
+                        for c in cols[bi]:
+                            carry_ref[idx] = c
+                            idx += 1
+                    if _spare_pending(chunk + 1):
+                        carry_ref[state_dim] = pending[0]
 
     out_shape = jax.ShapeDtypeStruct(
-        (num_points, state_dim, total_rows, _LANES), jnp.float32
+        (n_tchunks * tc, state_dim, total_rows, _LANES), jnp.float32
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_blocks, n_tchunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (num_points, state_dim, rows_per_block, _LANES),
-            lambda i: (0, 0, i, 0),
+            (tc, state_dim, rows_per_block, _LANES),
+            lambda i, t: (t, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((state_dim + 1, rows_per_block, _LANES), jnp.float32),
+        ],
         compiler_params=_compiler_params(),
     )(_seed_words(seed, phase, block_offset), params_vec)
 
-    # [T, D, rows, lanes] -> [T, N, D]
+    # [T_padded, D, rows, lanes] -> [T, N, D]
     return jnp.moveaxis(
-        out.reshape(num_points, state_dim, padded)[:, :, :num_paths], 1, -1
+        out.reshape(n_tchunks * tc, state_dim, padded)[
+            :num_points, :, :num_paths
+        ],
+        1,
+        -1,
     )

@@ -368,6 +368,20 @@ def pick_rows_per_block(num_paths: int, preferred: int = 256,
     return rows if rows >= 8 else None
 
 
+def pick_rows_for_model(model, num_paths: int, outputs_per_path: int,
+                        preferred: int = 256):
+    """rows_per_block for ``model``'s kernel, or None (XLA engine fallback).
+
+    Time-chunked kernels (``model.pallas_time_chunked`` — the hybrid kernel,
+    ops/pallas_hybrid.py) stream emissions to HBM chunk by chunk, so any
+    timeline length fits at the preferred row count; single-pass kernels must
+    fit the whole trajectory block in scoped VMEM (pick_rows_per_block)."""
+    if getattr(model, "pallas_time_chunked", False):
+        return preferred
+    return pick_rows_per_block(num_paths, preferred=preferred,
+                               outputs_per_path=outputs_per_path)
+
+
 def padded_paths(num_paths: int, rows_per_block: int) -> int:
     """Smallest multiple of the kernel block (rows*128) >= num_paths.
 

@@ -97,14 +97,14 @@ def sharded_pallas_paths(model, params, scheme, timeline, num_paths: int,
     """
     from montecarlo_risk_engine_tpu.ops.pallas_paths import (
         _LANES,
-        pick_rows_per_block,
+        pick_rows_for_model,
     )
 
     axis = _path_axis(sharding)
     n_dev = int(sharding.mesh.shape[axis])
     if num_paths % n_dev:
         raise ValueError(f"num_paths {num_paths} not divisible by {n_dev} devices")
-    rows = pick_rows_per_block(num_paths // n_dev,
+    rows = pick_rows_for_model(model, num_paths // n_dev,
                                outputs_per_path=outputs_per_path)
     if rows is None:
         raise ValueError(
@@ -131,7 +131,7 @@ def sharded_pallas_paths_with_noise(model, params, scheme, timeline,
     axis.  Same global-block seeding contract as sharded_pallas_paths."""
     from montecarlo_risk_engine_tpu.ops.pallas_paths import (
         _LANES,
-        pick_rows_per_block,
+        pick_rows_for_model,
     )
 
     mesh = sharding.mesh
@@ -140,7 +140,8 @@ def sharded_pallas_paths_with_noise(model, params, scheme, timeline,
     if num_paths % n_dev:
         raise ValueError(f"num_paths {num_paths} not divisible by {n_dev} devices")
     local_paths = num_paths // n_dev
-    rows = pick_rows_per_block(local_paths, outputs_per_path=outputs_per_path)
+    rows = pick_rows_for_model(model, local_paths,
+                               outputs_per_path=outputs_per_path)
     if rows is None:
         raise ValueError(
             f"per-device path count {local_paths} not blockable for Pallas"

@@ -548,3 +548,20 @@ def test_pallas_schwartz_2f_matches_engine():
         a, b = float(g_p[name]), float(g_s[name])
         assert np.isfinite(a) and np.isfinite(b)
         assert abs(a - b) < 0.1 * max(abs(a), abs(b)) + 1e-3, (name, a, b)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+def test_pallas_auto_cost_gate_skips_small_path_books():
+    """Round-3 cost gate: with time-chunked emission ANY timeline is
+    kernel-ELIGIBLE, but auto mode only activates the kernel when path
+    generation is worth fusing (paths >= 2^16 or path-steps >= 2^25).
+    Product-bound books — the 5k-product CVA harness shape, 1,000 paths x
+    688 timeline points — measured warm 2.4s either way while the 688-point
+    Mosaic unroll cost ~690s extra cold, so auto stays on the scan engine;
+    use_pallas=True still forces an eligible kernel on."""
+    small_auto = _bs_controller(4096, "auto")
+    assert not small_auto._decide_pallas()
+    small_forced = _bs_controller(4096, True)
+    assert small_forced._decide_pallas()
+    big_auto = _bs_controller(1 << 20, "auto")
+    assert big_auto._decide_pallas()

@@ -239,3 +239,82 @@ def test_non_divisible_path_counts_pad_and_slice():
     ref = np.asarray(vasicek_paths(
         (0.03, 0.012, 0.045, 0.3), tl, block, 1, **kw))
     np.testing.assert_array_equal(got, ref[:, :1000])
+
+
+def test_time_chunked_emission_is_bitwise_chunk_invariant():
+    """Round-3: the hybrid kernel streams emissions in TIME CHUNKS (grid
+    minor dim walks the timeline, state + the spare Box-Muller half-pair
+    carried in VMEM scratch, PRNG seeded once per path block) so ANY
+    timeline length is kernel-eligible.  The draw stream must be EXACTLY
+    invariant to the chunking: parity of the half-pair at each boundary is
+    static, its value rides the scratch, and the hardware PRNG register
+    state persists across grid steps."""
+    from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+        KernelBlock,
+        hybrid_paths,
+    )
+
+    # sim_dim = 3 (odd) so the Box-Muller spare half-pair crosses chunk
+    # boundaries on every other substep
+    blocks = [
+        KernelBlock("bs", "euler", 0, 1, 1),
+        KernelBlock("vasicek", "exact", 3, 2, 1),
+        KernelBlock("cirpp", "euler", 7, 2, 1,
+                    hazard_tenors=(1.0, 5.0), hazard_rates=(0.02, 0.03)),
+    ]
+    import jax.numpy as jnp
+
+    params = jnp.asarray(
+        [100.0, 0.2, 0.03, 0.03, 0.012, 0.045, 0.3, 0.1, 0.01, 0.02, 1e-4],
+        jnp.float32,
+    )
+    chol = np.linalg.cholesky(
+        np.array([[1.0, 0.2, 0.1], [0.2, 1.0, 0.0], [0.1, 0.0, 1.0]])
+    )
+    tl = [0.25 * k for k in range(1, 25)]  # 24 points
+
+    ref = np.asarray(hybrid_paths(
+        blocks, chol, tl, 1000, 1, seed=7, phase=42, params_vec=params,
+        time_chunk_points=24,  # single chunk == the pre-chunking kernel
+    ))
+    for tc in (1, 3, 5, 7):
+        out = np.asarray(hybrid_paths(
+            blocks, chol, tl, 1000, 1, seed=7, phase=42, params_vec=params,
+            time_chunk_points=tc,
+        ))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_long_timeline_is_kernel_eligible_and_statistically_sound():
+    """A 500-point timeline used to bail to the XLA engine (the whole
+    [T, D, rows, 128] trajectory had to fit scoped VMEM); time-chunked
+    emission keeps the kernel on.  BS martingale + Vasicek stationary-mean
+    invariants at the horizon."""
+    from montecarlo_risk_engine_tpu import (
+        BlackScholesModel,
+        ModelConfig,
+        SimulationScheme,
+        VasicekModel,
+    )
+
+    eq = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                           asset_id="eq")
+    irs = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                       volatility=0.012, asset_id="irs")
+    model = ModelConfig([eq, irs],
+                        inter_asset_correlation_matrix=[np.array([[0.25]])])
+    tl = tuple(np.linspace(0.02, 10.0, 500))
+    n = 65_536
+    states = np.asarray(model.pallas_paths(
+        model.initial_params(), SimulationScheme.EULER, tl, n, 1, seed=13,
+    ))  # [500, N, 4] = [S, r, log_B, ...block order]
+    s_t = states[-1, :, 0]
+    se = s_t.std() / np.sqrt(n)
+    # Euler drift compounding: E[S_T] = 100 * prod(1 + r dt) -> ~ e^{rT}
+    dts = np.diff(np.concatenate([[0.0], np.asarray(tl)]))
+    target = 100.0 * np.prod(1.0 + 0.03 * dts)
+    assert abs(s_t.mean() - target) < 5 * se
+    r_t = states[-1, :, 1]
+    # OU at T=10 with a=0.3: mean = theta + (r0-theta) e^{-aT}
+    mean_r = 0.045 + (0.03 - 0.045) * np.exp(-0.3 * 10.0)
+    assert abs(r_t.mean() - mean_r) < 5 * 0.012 / np.sqrt(2 * 0.3) / np.sqrt(n) + 1e-4
