@@ -62,25 +62,34 @@ class BlackScholesModel(Model):
         # Euler: S' = S (1 + r dt + sigma sqrt(dt) z)
         return (next_state / state - 1.0 - rate * dt) / (sigma * jnp.sqrt(dt))
 
+    # single-"bs"-block hybrid kernel: time-chunked emission, any timeline
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
-        """Single-asset exact GBM = 1-asset case of the multi kernel."""
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            bs_multi_paths,
-            pick_rows_per_block,
+        """Single-asset exact GBM as one "bs" block of the time-chunked
+        hybrid kernel (ops/pallas_hybrid.py)."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
         )
 
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=len(timeline))
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
-        spot, sigma, rate = self._unpack(params)
-        log_states = bs_multi_paths(
-            [spot], [sigma], rate, [[1.0]],
-            timeline, num_paths, seed=seed, phase=phase, block_offset=block_offset,
-            calibration_date=self.calibration_date, rows_per_block=rows,
+        block = KernelBlock(
+            "bs",
+            "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
+            0, 1, 1,
         )
-        return jnp.exp(log_states)
+        params_vec = jnp.stack(
+            [jnp.asarray(p, dtype=jnp.float32) for p in params]
+        )
+        return hybrid_paths(
+            [block], np.eye(1), timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date,
+            rows_per_block=rows_per_block or 256, params_vec=params_vec,
+        )
 
     def analytic_factor_loadings(self, params):
         _, sigma, _ = self._unpack(params)

@@ -77,29 +77,37 @@ class BlackScholesMulti(Model):
             return jnp.log(next_state / state) - (rate - 0.5 * sigma * sigma) * dt
         return (next_state / state - 1.0 - rate * dt) / (sigma * jnp.sqrt(dt))
 
+    # single-"bs_multi"-block hybrid kernel: time-chunked, any timeline
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
-        """Exact correlated-GBM trajectory via the hardware-PRNG kernel
-        (ops/pallas_paths.bs_multi_paths).  The kernel carries log-spots; the
-        model state convention is spot levels, so exponentiate on the way out
-        (one fused elementwise op)."""
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            bs_multi_paths,
-            pick_rows_per_block,
+        """Exact correlated-GBM trajectory as one "bs_multi" block of the
+        time-chunked hybrid kernel (ops/pallas_hybrid.py) — the intra-asset
+        correlation IS the block's static joint Cholesky."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
         )
 
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=len(timeline) * self.num_assets
-        )
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         n = self.num_assets
-        log_states = bs_multi_paths(
-            params[:n], params[n:2 * n], params[2 * n], self._corr,
-            timeline, num_paths, seed=seed, phase=phase, block_offset=block_offset,
-            calibration_date=self.calibration_date, rows_per_block=rows,
+        block = KernelBlock(
+            "bs_multi",
+            "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
+            0, n, n,
         )
-        return jnp.exp(log_states)
+        chol = np.linalg.cholesky(np.asarray(self._corr, dtype=np.float64))
+        params_vec = jnp.stack(
+            [jnp.asarray(p, dtype=jnp.float32) for p in params]
+        )
+        return hybrid_paths(
+            [block], chol, timeline, num_paths, num_steps,
+            seed=seed, phase=phase, block_offset=block_offset,
+            calibration_date=self.calibration_date,
+            rows_per_block=rows_per_block or 256, params_vec=params_vec,
+        )
 
     def correlation_matrix(self, params, scheme):
         return asarray(self._corr)

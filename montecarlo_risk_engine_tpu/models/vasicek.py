@@ -76,23 +76,36 @@ class VasicekModel(Model):
             return r_next - theta - (r - theta) * jnp.exp(-a * dt)
         return (r_next - r - a * (theta - r) * dt) / (sigma * jnp.sqrt(dt))
 
+    # single-"vasicek"-block hybrid kernel: time-chunked, any timeline
+    pallas_time_chunked = True
+
     def pallas_paths(self, params, scheme, timeline, num_paths, num_steps,
                      seed, phase=0, block_offset=0, rows_per_block=None):
-        """Fused exact-OU trajectory via the hardware-PRNG kernel
-        (ops/pallas_paths.vasicek_paths); state [T, N, 2] = [r, log_B]."""
-        from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-            pick_rows_per_block,
-            vasicek_paths,
+        """Fused exact-OU trajectory as one "vasicek" block of the
+        time-chunked hybrid kernel (ops/pallas_hybrid.py); state
+        [T, N, 2] = [r, log_B] (left-Riemann log_B, quirk Q3)."""
+        import numpy as np
+
+        from montecarlo_risk_engine_tpu.ops.pallas_hybrid import (
+            KernelBlock,
+            hybrid_paths,
         )
 
-        rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=2 * len(timeline))
-        if rows is None:
-            raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
-        return vasicek_paths(
-            params, timeline, num_paths, num_steps,
+        from montecarlo_risk_engine_tpu.config import SimulationScheme
+
+        block = KernelBlock(
+            "vasicek",
+            "exact" if scheme == SimulationScheme.ANALYTICAL else "euler",
+            0, 2, 1,
+        )
+        params_vec = jnp.stack(
+            [jnp.asarray(p, dtype=jnp.float32) for p in params]
+        )
+        return hybrid_paths(
+            [block], np.eye(1), timeline, num_paths, num_steps,
             seed=seed, phase=phase, block_offset=block_offset,
-            calibration_date=self.calibration_date, rows_per_block=rows,
+            calibration_date=self.calibration_date,
+            rows_per_block=rows_per_block or 256, params_vec=params_vec,
         )
 
     def analytic_factor_loadings(self, params):
