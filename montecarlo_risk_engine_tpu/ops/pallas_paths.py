@@ -24,9 +24,11 @@ unsharded kernel.  They are a *different* (equally valid) stream from the
 threefry engine, so kernel paths are statistically — not bitwise —
 equivalent to the jnp engine's.
 
-Scope: forward path generation (no AAD) — the speed path for valuation and
-exposure runs where gradients are not requested.  Differentiated runs use the
-jnp engine.
+This module keeps the Heston-QE kernel (QE branch mixing needs the
+noise-emitting variant for AD) plus the shared PRNG/seeding/blocking helpers;
+every other model family runs as blocks of the time-chunked hybrid kernel
+(ops/pallas_hybrid.py).  Differentiated books compose with these kernels via
+custom-JVP noise recovery (ops/pallas_paths_ad.py).
 """
 
 from __future__ import annotations
@@ -235,106 +237,6 @@ def heston_qe_paths(
     return states, z, flat[4]
 
 
-def vasicek_paths(
-    params,
-    timeline: Sequence[float],
-    num_paths: int,
-    num_steps: int,
-    seed: int = 0,
-    phase: int = 0,
-    block_offset=0,
-    calibration_date: float = 0.0,
-    rows_per_block: int = 256,
-):
-    """Exact-OU Vasicek trajectories at timeline points: [T, N, 2] f32.
-
-    State convention matches models/vasicek.py (reference vasicek.py:62-86):
-    state = [r, log_B], r stepped with the exact conditional OU law per
-    substep, log_B accumulated left-Riemann (quirk Q3 preserved).  ``params``
-    = (rate, volatility, mean, mean_reversion_speed) may be traced — they
-    ride into the kernel through SMEM; dts are compile-time constants.
-    """
-    params_vec = jnp.stack([jnp.asarray(p, dtype=jnp.float32) for p in params])
-    block_paths = rows_per_block * _LANES
-    padded = padded_paths(num_paths, rows_per_block)
-    n_blocks = padded // block_paths
-    total_rows = padded // _LANES
-
-    points = [float(t) for t in timeline]
-    t_prev = float(calibration_date)
-    intervals = []
-    for t in points:
-        intervals.append((t - t_prev) / num_steps)
-        t_prev = t
-    num_points = len(points)
-
-    def kernel(seed_ref, p_ref, r_ref, logb_ref):
-        block = pl.program_id(0)
-        # two independent seed words (Mosaic's limit): phase-distinct word 0,
-        # global block (= offset + local block under shard_map) as word 1 --
-        # no cross-phase or cross-shard stream collisions
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] + block)
-        shape = (rows_per_block, _LANES)
-        r0, sigma, theta, a = p_ref[0], p_ref[1], p_ref[2], p_ref[3]
-        r = jnp.full(shape, 0.0, dtype=jnp.float32) + r0
-        log_b = jnp.zeros(shape, dtype=jnp.float32)
-
-        pending = [None]  # spare Box-Muller normal across substeps
-
-        def draw():
-            if pending[0] is None:
-                z_a, z_b = _normal_pair(shape)
-                pending[0] = z_b
-                return z_a
-            z = pending[0]
-            pending[0] = None
-            return z
-
-        for point in range(num_points):
-            dt = intervals[point]
-            if dt > 0.0:
-                for _ in range(num_steps):
-                    decay = jnp.exp(-a * dt)
-                    scale = jnp.sqrt(
-                        (sigma * sigma / (2.0 * a)) * (1.0 - decay * decay)
-                    )
-                    z = draw()
-                    log_b = log_b + r * dt
-                    r = theta + (r - theta) * decay + scale * z
-            r_ref[point] = r
-            logb_ref[point] = log_b
-
-    out_shape = jax.ShapeDtypeStruct((num_points, total_rows, _LANES), jnp.float32)
-    rs, logbs = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (num_points, rows_per_block, _LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (num_points, rows_per_block, _LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(out_shape, out_shape),
-        compiler_params=_compiler_params(),
-    )(_seed_words(seed, phase, block_offset), params_vec)
-
-    return jnp.stack(
-        [rs.reshape(num_points, padded)[:, :num_paths],
-         logbs.reshape(num_points, padded)[:, :num_paths]],
-        axis=-1,
-    )
-
-
 # Per-block output budget: the whole [T*D, rows, 128] f32 emission block
 # lives in scoped VMEM alongside the step temps — and Mosaic DOUBLE-BUFFERS
 # the output window across grid steps, so the block counts twice.  The
@@ -393,107 +295,3 @@ def padded_paths(num_paths: int, rows_per_block: int) -> int:
     return -(-num_paths // bp) * bp
 
 
-def bs_multi_paths(
-    spots: Sequence[float],
-    vols: Sequence[float],
-    rate: float,
-    correlation,
-    timeline: Sequence[float],
-    num_paths: int,
-    seed: int = 0,
-    phase: int = 0,
-    block_offset=0,
-    calibration_date: float = 0.0,
-    rows_per_block: int = 256,
-):
-    """Correlated multi-asset GBM log-spots at timeline points: [T, N, D] f32.
-
-    The book benchmarks' market model (BlackScholesMulti, models/
-    black_scholes_multi.py — the reference's black_scholes_multi.py:63-96
-    torch loop): exact log-normal transitions per interval, correlation applied
-    as an unrolled Cholesky combination of per-asset hardware-PRNG normals (D
-    is small, so the D x D triangular combine stays in registers; state lives
-    in VMEM for the whole trajectory).
-
-    Any ``num_paths`` (padded internally to a block multiple, tail sliced
-    off).  ``spots``, ``vols``
-    and ``rate`` may be traced (the controller pipeline is a function of the
-    flat model parameters) — they enter the kernel through SMEM; the
-    correlation matrix is static model structure, so its Cholesky factor is
-    baked in as compile-time constants.
-    """
-    import numpy as _np
-
-    num_assets = len(spots)
-    params_vec = jnp.stack(
-        [jnp.asarray(p, dtype=jnp.float32) for p in (*spots, *vols, rate)]
-    )
-    chol = _np.linalg.cholesky(_np.asarray(correlation, dtype=_np.float64))
-
-    block_paths = rows_per_block * _LANES
-    padded = padded_paths(num_paths, rows_per_block)
-    n_blocks = padded // block_paths
-    total_rows = padded // _LANES
-
-    points = [float(t) for t in timeline]
-    t_prev = float(calibration_date)
-    dts = []
-    for t in points:
-        dts.append(t - t_prev)
-        t_prev = t
-    num_points = len(points)
-
-    def kernel(seed_ref, p_ref, out_ref):
-        block = pl.program_id(0)
-        # two independent seed words (Mosaic's limit): phase-distinct word 0,
-        # global block (= offset + local block under shard_map) as word 1 --
-        # no cross-phase or cross-shard stream collisions
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] + block)
-        shape = (rows_per_block, _LANES)
-        rate_v = p_ref[2 * num_assets]
-        log_s = [
-            jnp.full(shape, 0.0, dtype=jnp.float32) + jnp.log(p_ref[d])
-            for d in range(num_assets)
-        ]
-        for point in range(num_points):
-            dt = dts[point]
-            if dt > 0.0:
-                # one normal per asset; pairs share a Box-Muller draw
-                zs = []
-                for _ in range((num_assets + 1) // 2):
-                    z_a, z_b = _normal_pair(shape)
-                    zs.extend((z_a, z_b))
-                sqrt_dt = math.sqrt(dt)
-                for d in range(num_assets):
-                    w = sum(
-                        float(chol[d, e]) * zs[e] for e in range(d + 1)
-                    )
-                    vol_d = p_ref[num_assets + d]
-                    drift = (rate_v - 0.5 * vol_d * vol_d) * dt
-                    log_s[d] = log_s[d] + drift + vol_d * sqrt_dt * w
-            for d in range(num_assets):
-                out_ref[point, d] = log_s[d]
-
-    out_shape = jax.ShapeDtypeStruct(
-        (num_points, num_assets, total_rows, _LANES), jnp.float32
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (num_points, num_assets, rows_per_block, _LANES),
-            lambda i: (0, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=out_shape,
-        compiler_params=_compiler_params(),
-    )(_seed_words(seed, phase, block_offset), params_vec)
-
-    # [T, D, rows, lanes] -> [T, N, D]
-    return jnp.moveaxis(
-        out.reshape(num_points, num_assets, padded)[:, :, :num_paths], 1, -1
-    )

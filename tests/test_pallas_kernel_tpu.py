@@ -95,7 +95,10 @@ def test_european_call_matches_jnp_engine(kernel_states):
 
 
 def test_bs_multi_correlation_and_martingale():
-    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+    """Exact correlated GBM through the LIVE dispatch — the model's
+    ``pallas_paths`` (a single "bs_multi" block of the time-chunked hybrid
+    kernel since round 3)."""
+    from montecarlo_risk_engine_tpu import BlackScholesMulti, SimulationScheme
 
     rate = 0.03
     spots = [95.0, 102.5, 110.0, 117.5]
@@ -105,17 +108,22 @@ def test_bs_multi_correlation_and_martingale():
     horizon = 2.0
     n = 262_144
 
-    out = np.asarray(
-        bs_multi_paths(spots, vols, rate, corr, (0.5, horizon), n, seed=11)
-    )  # [2, N, 4] log-spots
-    s_t = np.exp(out[-1])
+    model = BlackScholesMulti(0.0, rate=rate,
+                              asset_ids=[f"a{d}" for d in range(4)],
+                              spots=spots, volatilities=vols,
+                              correlation_matrix=corr)
+    s = np.asarray(model.pallas_paths(
+        model.initial_params(), SimulationScheme.ANALYTICAL,
+        (0.5, horizon), n, 1, seed=11,
+    ))  # [2, N, 4] spot levels
+    s_t = s[-1]
     for d in range(4):
         mean = s_t[:, d].mean() * np.exp(-rate * horizon)
         se = s_t[:, d].std() * np.exp(-rate * horizon) / np.sqrt(n)
         assert abs(mean - spots[d]) < 5 * se + 1e-2 * spots[d]
 
     # realized log-return correlation vs the input matrix
-    logret = out[-1] - np.log(np.asarray(spots))[None, :]
+    logret = np.log(s_t) - np.log(np.asarray(spots))[None, :]
     emp = np.corrcoef(logret.T)
     assert np.max(np.abs(emp - corr)) < 0.02
 
@@ -166,48 +174,48 @@ def test_phase_streams_never_collide_across_blocks():
     block b+1 — LSM regressions would have been fit in-sample.  The kernel now
     packs (seed, phase, global block) into two independent prng_seed words:
     no block of one phase may reproduce any block of the other."""
-    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+    from montecarlo_risk_engine_tpu import BlackScholesModel, SimulationScheme
     from montecarlo_risk_engine_tpu import rng
 
     n_blocks = 4
     rows = 8
     n = n_blocks * rows * 128
-    kw = dict(rows_per_block=rows, seed=21)
-    pre = np.asarray(bs_multi_paths(
-        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
-        phase=rng.PHASE_PRESIM, **kw,
-    )).reshape(n_blocks, rows * 128)
-    main = np.asarray(bs_multi_paths(
-        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
-        phase=rng.PHASE_MAINSIM, **kw,
-    )).reshape(n_blocks, rows * 128)
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2)
+    kw = dict(seed=21, rows_per_block=rows)
+
+    def paths(phase):
+        return np.asarray(model.pallas_paths(
+            model.initial_params(), SimulationScheme.ANALYTICAL,
+            (1.0,), n, 1, phase=phase, **kw,
+        )).reshape(n_blocks, rows * 128)
+
+    pre = paths(rng.PHASE_PRESIM)
+    main = paths(rng.PHASE_MAINSIM)
     for b_main in range(n_blocks):
         for b_pre in range(n_blocks):
             assert not np.allclose(main[b_main], pre[b_pre]), (b_main, b_pre)
     # determinism: same (seed, phase) reproduces bitwise
-    again = np.asarray(bs_multi_paths(
-        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n,
-        phase=rng.PHASE_PRESIM, **kw,
-    )).reshape(n_blocks, rows * 128)
-    np.testing.assert_array_equal(pre, again)
+    np.testing.assert_array_equal(pre, paths(rng.PHASE_PRESIM))
 
 
 def test_block_offset_matches_unsharded_global_blocks():
     """block_offset k must reproduce the unsharded kernel's blocks k..k+m —
     the shard_map entry point relies on this to make sharded draws identical
     to the single-device stream per global block."""
-    from montecarlo_risk_engine_tpu.ops.pallas_paths import bs_multi_paths
+    from montecarlo_risk_engine_tpu import BlackScholesModel, SimulationScheme
 
     rows = 8
     block_paths = rows * 128
     n_blocks = 4
-    full = np.asarray(bs_multi_paths(
-        [100.0], [0.2], 0.03, [[1.0]], (1.0,), n_blocks * block_paths,
-        seed=5, phase=1, rows_per_block=rows,
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2)
+    kw = dict(seed=5, phase=1, rows_per_block=rows)
+    full = np.asarray(model.pallas_paths(
+        model.initial_params(), SimulationScheme.ANALYTICAL,
+        (1.0,), n_blocks * block_paths, 1, **kw,
     )).reshape(n_blocks, block_paths)
-    tail = np.asarray(bs_multi_paths(
-        [100.0], [0.2], 0.03, [[1.0]], (1.0,), 2 * block_paths,
-        seed=5, phase=1, block_offset=2, rows_per_block=rows,
+    tail = np.asarray(model.pallas_paths(
+        model.initial_params(), SimulationScheme.ANALYTICAL,
+        (1.0,), 2 * block_paths, 1, block_offset=2, **kw,
     )).reshape(2, block_paths)
     np.testing.assert_array_equal(full[2:], tail)
 
@@ -218,26 +226,31 @@ def test_non_divisible_path_counts_pad_and_slice():
     bitwise PREFIX of the padded run (pallas_paths.padded_paths).  1,000,000
     is divisible by no rows*128 — pre-padding, such books silently fell
     back to the scan engine."""
-    from montecarlo_risk_engine_tpu.ops.pallas_paths import (
-        bs_multi_paths, vasicek_paths)
+    from montecarlo_risk_engine_tpu import (
+        BlackScholesMulti, SimulationScheme, VasicekModel)
 
     tl = tuple(np.linspace(0.25, 2.0, 8))
     kw = dict(seed=11, rows_per_block=8)
     block = 8 * 128
+    multi = BlackScholesMulti(0.0, rate=0.03, asset_ids=["a", "b"],
+                              spots=[100.0, 90.0], volatilities=[0.2, 0.3],
+                              correlation_matrix=[[1.0, 0.4], [0.4, 1.0]])
     for n in (1000, 3 * block + 17):
         padded = -(-n // block) * block
-        got = np.asarray(bs_multi_paths(
-            [100.0, 90.0], [0.2, 0.3], 0.03,
-            [[1.0, 0.4], [0.4, 1.0]], tl, n, **kw))
-        ref = np.asarray(bs_multi_paths(
-            [100.0, 90.0], [0.2, 0.3], 0.03,
-            [[1.0, 0.4], [0.4, 1.0]], tl, padded, **kw))
+        got = np.asarray(multi.pallas_paths(
+            multi.initial_params(), SimulationScheme.ANALYTICAL,
+            tl, n, 1, **kw))
+        ref = np.asarray(multi.pallas_paths(
+            multi.initial_params(), SimulationScheme.ANALYTICAL,
+            tl, padded, 1, **kw))
         assert got.shape[1] == n
         np.testing.assert_array_equal(got, ref[:, :n])
-    got = np.asarray(vasicek_paths(
-        (0.03, 0.012, 0.045, 0.3), tl, 1000, 1, **kw))
-    ref = np.asarray(vasicek_paths(
-        (0.03, 0.012, 0.045, 0.3), tl, block, 1, **kw))
+    vas = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                       volatility=0.012)
+    got = np.asarray(vas.pallas_paths(
+        vas.initial_params(), SimulationScheme.ANALYTICAL, tl, 1000, 1, **kw))
+    ref = np.asarray(vas.pallas_paths(
+        vas.initial_params(), SimulationScheme.ANALYTICAL, tl, block, 1, **kw))
     np.testing.assert_array_equal(got, ref[:, :1000])
 
 
