@@ -206,11 +206,16 @@ class SimulationController:
         # runs on TPU when the model ships a kernel (ops/pallas_paths.py).
         if use_pallas not in ("auto", True, False):
             raise ValueError("use_pallas must be 'auto', True or False")
-        if use_pallas is True and streaming is True:
+        if use_pallas is True and streaming is True and not self.differentiate:
+            # Differentiated books COMPOSE the two: the kernel-streaming AD
+            # path resolves schedule rows in-scan during the tangent
+            # reconstruction (_simulate_and_resolve), so the contradiction
+            # only exists forward-only.
             raise ValueError(
-                "use_pallas=True and streaming=True are mutually exclusive: "
-                "the fused kernels materialise the state plane that "
-                "streaming mode avoids"
+                "use_pallas=True and streaming=True are mutually exclusive "
+                "for forward-only runs: the fused kernels materialise the "
+                "state plane that streaming mode avoids (differentiated "
+                "runs compose via in-scan row emission)"
             )
         self.use_pallas = use_pallas
         self._pallas_active = False
@@ -1154,12 +1159,15 @@ class SimulationController:
 
     # -- the traced pipeline -------------------------------------------------------------
 
-    def _kernel_ad_factories(self, num_paths: int, phase: int):
+    def _kernel_ad_factories(self, num_paths: int, phase: int,
+                             emit_schedule=None):
         """(forward_coarse, noise_fn, recon_fn) for the differentiated
         kernel path of one phase — ops/pallas_paths_ad.py.  The jacobian
         drivers use the split to hoist the kernel + noise recovery OUT of
         the per-tangent sweep loop (z is the same frozen constant for every
-        tangent direction)."""
+        tangent direction).  ``emit_schedule``: the kernel-streaming mode —
+        forward/reconstruction return schedule-row emissions instead of the
+        coarse state plane (tangent memory O(request rows x paths))."""
         from montecarlo_risk_engine_tpu.ops.pallas_paths_ad import (
             dense_timeline,
             emitted_noise_fns,
@@ -1192,6 +1200,7 @@ class SimulationController:
             return emitted_noise_fns(
                 self.model, self.simulation_scheme, self.simulation_timeline,
                 num_paths, self.num_steps, noise_forward,
+                emit_schedule=emit_schedule,
             )
 
         def dense_forward(p):
@@ -1214,6 +1223,7 @@ class SimulationController:
         return recovered_noise_fns(
             self.model, self.simulation_scheme, self.simulation_timeline,
             num_paths, self.num_steps, dense_forward,
+            emit_schedule=emit_schedule,
         )
 
     def _kernel_noise_of(self, params):
@@ -1251,11 +1261,41 @@ class SimulationController:
             sampler=self.sampler,
         )
         if schedule is not None:
-            _, emissions = simulate_paths(
-                self.model, params, self.simulation_scheme, self.simulation_timeline,
-                num_paths, self.num_steps, phase,
-                emit_schedule=schedule, collect_states=False, **common,
-            )
+            if self._pallas_active:
+                # Kernel-streaming AD (differentiate-only by the decision
+                # logic): the PRIMAL resolves schedule rows in bulk from the
+                # kernel's AD-opaque dense plane (which exists once per
+                # program anyway — it is the noise-recovery input), while the
+                # TANGENT reconstruction resolves rows IN-SCAN, so a tangent
+                # sweep never materialises a [T, N, D] plane.  This is what
+                # lets _size_kernel_ad_chunk widen the tangent chunks on
+                # 16GB chips (BENCH_NOTES round 3, "the v5e memory wall").
+                fwd_rows, noise_fn, recon_rows = self._kernel_ad_factories(
+                    num_paths, phase, emit_schedule=schedule
+                )
+                if kernel_noise is not None:
+                    emissions = recon_rows(params, kernel_noise[phase])
+                else:
+                    @jax.custom_jvp
+                    def rows_fn(p):
+                        return fwd_rows(p)
+
+                    @rows_fn.defjvp
+                    def rows_fn_jvp(primals, tangents):
+                        (p,), (dp,) = primals, tangents
+                        z = noise_fn(p)
+                        return jax.jvp(
+                            lambda q: recon_rows(q, z), (p,), (dp,)
+                        )
+
+                    emissions = rows_fn(params)
+                emissions = [e.astype(real_dtype()) for e in emissions]
+            else:
+                _, emissions = simulate_paths(
+                    self.model, params, self.simulation_scheme, self.simulation_timeline,
+                    num_paths, self.num_steps, phase,
+                    emit_schedule=schedule, collect_states=False, **common,
+                )
             resolved = plan.resolve_from_emissions(schedule, emissions)
             from montecarlo_risk_engine_tpu.api.batching import EmittedTables
 
@@ -1549,7 +1589,15 @@ class SimulationController:
         states inside the scan (see Model.set_state_layout).
         """
         self._pallas_active = self._decide_pallas()
-        mode = False if self._pallas_active else self.streaming
+        if self._pallas_active and not self.differentiate:
+            # The forward kernel materialises the [T, N, D] plane, so
+            # streaming has nothing to save; differentiated kernel books DO
+            # evaluate the streaming decision — the combined kernel-streaming
+            # AD path emits schedule rows from the tangent reconstruction
+            # (_simulate_and_resolve).
+            mode = False
+        else:
+            mode = self.streaming
         if mode == "auto":
             # Measured on v5e (north-star book, 1M paths f32, chunk=1):
             # plane is ~1.8x faster WARM (bulk one-hot resolution fuses
@@ -1592,6 +1640,21 @@ class SimulationController:
             )
         else:
             self._emission_schedule = None
+        if (self._pallas_active and self.differentiate
+                and self._emission_schedule is not None):
+            # Kernel-streaming AD: the per-tangent reconstruction buffers are
+            # request-ROW-sized, not coarse-plane-sized, so re-derive the
+            # tangent chunk from the emitted-row bytes (the plane-based
+            # width from _decide_pallas is the conservative floor) — at 1M
+            # paths x 59 dates this widens chunk 1 -> 2-4 on a 16GB chip,
+            # worth ~1.7x on the jacobian sweep (BENCH_NOTES, 262k scaling).
+            n = max(self.num_paths_mainsim, self.num_paths_presim)
+            rows_bytes = self._emission_schedule.num_emitted_rows() * 4 * n
+            chunk = self._kernel_ad_sweep_chunk(rows_bytes)
+            if chunk >= 1:
+                self._grad_chunk_effective = max(
+                    self._grad_chunk_effective, chunk
+                )
         self.model.set_state_layout(self._emission_schedule is None)
 
     # Fallback budgets when the device exposes no memory size (see
@@ -1655,6 +1718,34 @@ class SimulationController:
                     self.STREAMING_AUTO_AD_BUDGET_BYTES)
         return hbm // 8, hbm - hbm // 8
 
+    def _kernel_ad_sweep_chunk(self, per_sweep_bytes: int) -> int:
+        """Widest tangent-chunk width whose per-sweep buffers fit the device
+        AD budget (0 when even chunk=1 does not fit — kernel ineligible).
+
+        Budget model, calibrated against a v5e AOT dump (north-star book,
+        1M paths, 57 dates): peak ~= 2 * (fixed + (1 + 2*chunk) *
+        per_sweep_bytes), where ``fixed`` is the dense primal plane + its
+        shifted copy + the recovered normals (live once per program) and
+        ``per_sweep_bytes`` is the per-tangent reconstruction output — the
+        COARSE state plane in plane mode, the emitted REQUEST ROWS in
+        kernel-streaming mode (the downstream exposure pipeline holds ~2
+        live output-sized temps per tangent, hence the 2*chunk term; 2x
+        outer slack for XLA temps/remat copies).  A narrower chunk costs
+        extra sequential sweeps but keeps kernel throughput, which beats
+        falling back to the scan engine."""
+        n = max(self.num_paths_mainsim, self.num_paths_presim)
+        width = self.model.pallas_emission_width(self.simulation_scheme, True)
+        t_dense = len(self.simulation_timeline) * max(1, self.num_steps)
+        dense_bytes = t_dense * width * 4 * n
+        fixed = 2 * dense_bytes + t_dense * self.model.simulation_dim * 4 * n
+        _, ad_budget = self._auto_memory_budgets()
+        chunk = max(1, int(self.grad_chunk_size))
+        while chunk >= 1:
+            if 2 * (fixed + (1 + 2 * chunk) * per_sweep_bytes) <= ad_budget:
+                break
+            chunk //= 2
+        return chunk
+
     def _decide_pallas(self) -> bool:
         """Fused-kernel path generation is the forward-only TPU speed path:
         hardware-PRNG draws (a different — equally valid — stream from
@@ -1663,16 +1754,20 @@ class SimulationController:
         scan engine is pinned by tests/test_pallas_controller_tpu.py."""
         if self.use_pallas is False:
             return False
-        if self.streaming is True:
-            # An explicit streaming request wins over kernel auto-activation
-            # (the kernel path materialises the [T, N, D] plane, the exact
-            # thing streaming exists to avoid); both explicitly True is a
-            # contradiction the user must resolve.
+        if self.streaming is True and not self.differentiate:
+            # Forward-only: an explicit streaming request wins over kernel
+            # auto-activation (the forward kernel materialises the [T, N, D]
+            # plane, the exact thing streaming exists to avoid); both
+            # explicitly True is a contradiction the user must resolve.
+            # DIFFERENTIATED books compose: the kernel-streaming AD path
+            # resolves schedule rows in-scan during tangent reconstruction
+            # (_simulate_and_resolve), so streaming=True keeps the kernel.
             if self.use_pallas is True:
                 raise ValueError(
                     "use_pallas=True and streaming=True are mutually "
-                    "exclusive: the fused kernels materialise the state "
-                    "plane that streaming mode avoids"
+                    "exclusive for forward-only runs: the fused kernels "
+                    "materialise the state plane that streaming mode avoids "
+                    "(differentiated runs compose via in-scan row emission)"
                 )
             return False
         from montecarlo_risk_engine_tpu.ops.pallas_paths import (
@@ -1751,41 +1846,32 @@ class SimulationController:
                 self.num_paths_mainsim >= _PALLAS_AUTO_MIN_PATHS
                 or path_steps >= _PALLAS_AUTO_MIN_PATH_STEPS
             )
+            if eligible and not self.differentiate:
+                # The forward kernel materialises the per-device [T, N, D]
+                # plane in HBM; past the device budget the streaming XLA
+                # engine is the only path that fits (e.g. 16M paths x 59
+                # dates x 5 state cols = 19.8GB on a 16GB chip).
+                plane_bytes = (
+                    len(self.simulation_timeline) * self.model.state_dim * 4
+                    * (max(self.num_paths_mainsim, self.num_paths_presim)
+                       // n_dev)
+                )
+                eligible = plane_bytes <= self._auto_memory_budgets()[1]
         if eligible and self.differentiate:
             # AD-wrapper peak memory (coarse-boundary layout,
-            # ops/pallas_paths_ad.py): the dense primal plane + its shifted
-            # copy + recovered normals live once; each tangent chunk adds
-            # COARSE-sized reconstruction buffers (primal + chunk tangents).
-            # 2x slack for XLA temps/remat copies.  Past the device AD budget
-            # the streaming XLA engine is the safer path.  (The pre-redesign
+            # ops/pallas_paths_ad.py): each tangent chunk adds COARSE-sized
+            # reconstruction buffers (primal + chunk tangents) on top of the
+            # fixed dense-plane residents.  Past the device AD budget the
+            # streaming XLA engine is the safer path.  (The pre-redesign
             # estimate missed the chunked dense tangent planes and OOMed a
-            # 1M-path x 57-dense-point book on 16GB.)
+            # 1M-path x 57-dense-point book on 16GB.)  When streaming-mode
+            # emission activates on top of the kernel, _decide_streaming
+            # re-derives this chunk from the much smaller ROW bytes.
             n = max(self.num_paths_mainsim, self.num_paths_presim)
-            width = self.model.pallas_emission_width(
-                self.simulation_scheme, True
-            )
-            t_dense = len(self.simulation_timeline) * max(1, self.num_steps)
-            dense_bytes = t_dense * width * 4 * n
             coarse_bytes = (
                 len(self.simulation_timeline) * self.model.state_dim * 4 * n
             )
-            fixed = (
-                2 * dense_bytes
-                + t_dense * self.model.simulation_dim * 4 * n
-            )
-            _, ad_budget = self._auto_memory_budgets()
-            # Shrink the tangent chunk until the per-sweep buffers fit: a
-            # narrower chunk costs extra sequential sweeps but keeps kernel
-            # throughput, which beats falling back to the scan engine.
-            # Slope calibrated against a v5e AOT dump (north-star book, 1M
-            # paths, 57 dates): chunk=8 compiled to 41.9G = 2*(fixed +
-            # 17*coarse) — the downstream exposure pipeline holds ~2 live
-            # coarse-sized temps per tangent, hence the 2*chunk term.
-            chunk = max(1, int(self.grad_chunk_size))
-            while chunk >= 1:
-                if 2 * (fixed + (1 + 2 * chunk) * coarse_bytes) <= ad_budget:
-                    break
-                chunk //= 2
+            chunk = self._kernel_ad_sweep_chunk(coarse_bytes)
             eligible = chunk >= 1
             if eligible:
                 self._grad_chunk_effective = chunk

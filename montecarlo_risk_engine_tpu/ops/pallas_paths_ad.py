@@ -115,6 +115,85 @@ def _coarse_slots(num_dense: int, orig_idx) -> np.ndarray:
     return slots
 
 
+def rows_from_states(model, params, schedule, states):
+    """Streaming-format emissions resolved post-hoc from a [T, N, D] coarse
+    state plane: one [T*K, N] (or [T*K]) array per schedule group — the
+    layout the streaming engine emits (engine/engine.py point_body) and
+    ``RequestPlan.resolve_from_emissions`` consumes.
+
+    Used as the PRIMAL of the kernel-streaming AD path: the kernel's
+    AD-opaque plane exists once per program (it is also the noise-recovery
+    input), so resolving it in bulk here costs no extra plane — only the
+    per-TANGENT buffers must stay row-sized, which is the in-scan
+    reconstruction's job (``emit_schedule`` on the factory fns below)."""
+    outs = []
+    for g in schedule.groups:
+        t1_tab = jnp.asarray(np.asarray(g.t1_tab), states.dtype)
+        t2_tab = jnp.asarray(np.asarray(g.t2_tab), states.dtype)
+        rows = jax.vmap(
+            lambda t1r, t2r, st, g=g: model.resolve_request_rows(
+                params, g.kind, g.asset_id, t1r, t2r,
+                jnp.broadcast_to(st, (g.K,) + st.shape),
+            )
+        )(t1_tab, t2_tab, states)  # [T, K, N] or [T, K]
+        outs.append(
+            rows.reshape((rows.shape[0] * rows.shape[1],) + rows.shape[2:])
+        )
+    return outs
+
+
+def _emit_scan_pieces(model, params, schedule, state0, num_coarse, dtype):
+    """(bufs0, write_rows) for a rows-emitting reconstruction scan.
+
+    ``bufs0``: zero-initialised per-group carry buffers
+    [T_coarse, K, N] / [T_coarse, K] (shapes via abstract eval — resolution
+    output is [K, N] unless the observable is state-independent).
+    ``write_rows(bufs, slot, state)``: resolve every group's rows for coarse
+    ``slot`` against the live state and write them in place; the interval's
+    endpoint write lands last in the scan, so no masks are needed (same
+    contract as the state-plane carry buffer)."""
+    groups = schedule.groups
+    t1_tabs = [jnp.asarray(np.asarray(g.t1_tab), dtype) for g in groups]
+    t2_tabs = [jnp.asarray(np.asarray(g.t2_tab), dtype) for g in groups]
+
+    def resolve_group(g, t1_row, t2_row, state):
+        state_b = jnp.broadcast_to(state, (g.K,) + state.shape)
+        return model.resolve_request_rows(
+            params, g.kind, g.asset_id, t1_row, t2_row, state_b
+        )
+
+    bufs0 = []
+    for g, tab1, tab2 in zip(groups, t1_tabs, t2_tabs):
+        row_shape = jax.eval_shape(
+            lambda st, g=g, tab1=tab1, tab2=tab2: resolve_group(
+                g, tab1[0], tab2[0], st
+            ),
+            state0,
+        )
+        bufs0.append(
+            jnp.zeros((num_coarse,) + row_shape.shape, row_shape.dtype)
+        )
+
+    def write_rows(bufs, slot, state):
+        new_bufs = []
+        for g, tab1, tab2, buf in zip(groups, t1_tabs, t2_tabs, bufs):
+            rows = resolve_group(g, tab1[slot], tab2[slot], state)
+            new_bufs.append(
+                jax.lax.dynamic_update_slice_in_dim(
+                    buf, rows[None].astype(buf.dtype), slot, axis=0
+                )
+            )
+        return tuple(new_bufs)
+
+    return tuple(bufs0), write_rows
+
+
+def _flatten_row_bufs(bufs):
+    return [
+        b.reshape((b.shape[0] * b.shape[1],) + b.shape[2:]) for b in bufs
+    ]
+
+
 def _opaque_primal(forward_fn):
     """Wrap the kernel forward as an AD-opaque function: its draws (and
     therefore its outputs' dependence on params through the RNG stream) are
@@ -135,7 +214,7 @@ def _opaque_primal(forward_fn):
 
 
 def recovered_noise_fns(model, scheme, timeline, num_paths: int,
-                        num_steps: int, forward_fn):
+                        num_steps: int, forward_fn, emit_schedule=None):
     """(forward_coarse, noise_fn, recon_fn) for invertible-transition models.
 
     ``forward_fn(params) -> [T_dense, N, D]`` produces the primal states at
@@ -152,7 +231,16 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         plain differentiable XLA; ``recon_fn(p, noise_fn(p))`` is the
         kernel's own trajectory, and its params-derivatives at frozen z are
         the exact pathwise derivatives of that trajectory.
-    """
+
+    ``emit_schedule`` (an ``EmissionSchedule``): the kernel-streaming AD
+    mode.  ``forward_coarse``/``recon_fn`` then return streaming-format
+    emissions (one [T*K, N] / [T*K] array per group) instead of the coarse
+    state plane: the reconstruction scan resolves each group's request rows
+    against the live [N, D] state and writes them into ROW-sized carry
+    buffers, so a tangent sweep never materialises a [T, N, D] plane — the
+    per-tangent memory is O(request rows x paths), the streaming engine's
+    contract (SURVEY.md §5.7), which is what lets the jacobian drivers widen
+    their tangent chunks on 16GB chips."""
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
     # HOST index/slot arrays: an eager jnp.asarray here would live on the
     # device and embed as an MLIR constant whose value the lowering must
@@ -170,6 +258,10 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         return model.noise_transform(p, scheme, None).astype(dtype)
 
     def forward_coarse(params):
+        if emit_schedule is not None:
+            return rows_from_states(
+                model, params, emit_schedule, kernel_primal(params)[idx]
+            )
         return kernel_primal(params)[idx]
 
     def noise_fn(params):
@@ -212,13 +304,36 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         # from the given standard normals, emitting ONLY the mapped coarse
         # points into an in-place carry buffer.  Its jvp at the recovered z
         # is the exact pathwise tangent of the kernel trajectory — with
-        # per-tangent memory T_coarse-, not T_dense-sized.
+        # per-tangent memory T_coarse-sized (plane mode) or request-row-sized
+        # (``emit_schedule`` given), never T_dense-sized.
         dtype = z.dtype
         t_prev_arr, dt_arr = _schedule_arrays(model.calibration_date, dense, dtype)
         live = dt_arr > 0.0
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
         state0 = model.init_state(p, num_paths).astype(dtype)
+        if emit_schedule is not None:
+            bufs0, write_rows = _emit_scan_pieces(
+                model, p, emit_schedule, state0, len(idx), dtype
+            )
+
+            def body(carry, xs):
+                state, bufs = carry
+                t1, dts, is_live, slot, z_step = xs
+                noise = z_step @ transform_at(p, dts, dtype).T
+                new = model.step(p, scheme, t1, t1 + dts, state, noise)
+                new = jnp.where(is_live, new, state)
+                # Every substep writes its interval's slot; the endpoint
+                # write lands last, so the emitted rows are resolved at the
+                # point state — the streaming engine's semantics.
+                return (new, write_rows(bufs, slot, new)), None
+
+            (_, bufs), _ = jax.lax.scan(
+                body, (state0, bufs0),
+                (t_prev_arr, dt_safe, live, slots_arr, z),
+            )
+            return _flatten_row_bufs(bufs)
+
         buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
 
         def body(carry, xs):
@@ -267,9 +382,10 @@ def recovered_noise_paths(model, scheme, timeline, num_paths: int,
 
 
 def emitted_noise_fns(model, scheme, timeline, num_paths: int,
-                      num_steps: int, forward_fn):
+                      num_steps: int, forward_fn, emit_schedule=None):
     """(forward_coarse, noise_fn, recon_fn) for NON-invertible transitions
-    (Heston QE).
+    (Heston QE).  ``emit_schedule``: rows-emitting mode, exactly as in
+    :func:`recovered_noise_fns`.
 
     ``forward_fn(params) -> (states [T', N, D], z [T', N, sim_dim],
     u [T', N])`` runs the noise-emitting kernel on the substep-dense timeline
@@ -292,6 +408,10 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
     kernel_primal = _opaque_primal(forward_fn)
 
     def forward_coarse(params):
+        if emit_schedule is not None:
+            return rows_from_states(
+                model, params, emit_schedule, kernel_primal(params)[0][idx]
+            )
         return kernel_primal(params)[0][idx]
 
     def noise_fn(params):
@@ -306,7 +426,13 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
         state0 = model.init_state(p, num_paths).astype(dtype)
-        buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
+        if emit_schedule is not None:
+            bufs0, write_rows = _emit_scan_pieces(
+                model, p, emit_schedule, state0, len(idx), dtype
+            )
+        else:
+            bufs0 = jnp.zeros((len(idx),) + state0.shape, dtype)
+            write_rows = None
 
         def body(carry, xs):
             state, buf = carry
@@ -319,15 +445,19 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
             new = model.step(p, scheme, t1, t1 + dts, state, noise_step,
                              uniform=u_step)
             new = jnp.where(is_live, new, state)
+            if write_rows is not None:
+                return (new, write_rows(buf, slot, new)), None
             buf = jax.lax.dynamic_update_slice_in_dim(
                 buf, new[None], slot, axis=0
             )
             return (new, buf), None
 
         (_, buf), _ = jax.lax.scan(
-            body, (state0, buf0),
+            body, (state0, bufs0),
             (t_prev_arr, dt_safe, live, slots_arr, z, u),
         )
+        if emit_schedule is not None:
+            return _flatten_row_bufs(buf)
         return buf
 
     return forward_coarse, noise_fn, recon_fn

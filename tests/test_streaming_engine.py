@@ -328,3 +328,114 @@ def test_auto_memory_budgets_track_device_hbm(monkeypatch):
     monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
                         lambda self: 95 << 30)
     assert (3 << 30) < c._auto_memory_budgets()[0]
+
+
+def _force_kernel_with_engine_forward(ctrl, model):
+    """Substitute the Pallas kernel with the threefry engine on the SAME
+    (seed, phase) stream and force the kernel decision on.
+
+    The dense-timeline kernel forward (num_steps=1 per dense interval)
+    consumes threefry draws in exactly the coarse run's order (counter =
+    point_idx * num_steps + k == dense index when no zero-length intervals),
+    so the kernel-AD reconstruction must reproduce the engine-streaming
+    trajectory to float precision — making the whole combined pipeline
+    CPU-testable without hardware (same substitution as tests/test_pallas_ad).
+    """
+    def fake_pallas(params, scheme, timeline, num_paths, num_steps, seed,
+                    phase=0, **kw):
+        return simulate_paths(model, params, scheme, timeline, num_paths,
+                              num_steps, phase, root_seed=seed)
+
+    model.pallas_paths = fake_pallas
+    ctrl._decide_pallas = lambda: True
+
+
+def test_kernel_streaming_ad_matches_engine_streaming():
+    """Combined kernel-streaming AD: with the kernel forward substituted by
+    the engine, values/errors/derivatives must match the engine-streaming
+    run — the in-scan rows reconstruction is the same map as the engine at
+    the recovered noise (round-3: per-tangent memory O(request rows x N))."""
+    def build():
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        products = [
+            EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                           asset_id="eq"),
+            AsianOption(0.25, 2.0, 95.0, 4, OptionType.CALL, asset_id="eq"),
+            BermudanOption(Equity("eq"), [0.5, 1.0, 1.5], 100.0,
+                           OptionType.PUT, asset_id="eq"),
+        ]
+        ctrl = _controller(
+            True, products, model, [PVMetric(), EPEMetric()],
+            exposure_timeline=[0.5, 1.0, 1.5], differentiate=True,
+            num_paths=512, num_paths_presim=512,
+        )
+        return ctrl, model
+
+    ctrl_ref, _ = build()
+    r_ref = ctrl_ref.run_simulation()
+    assert ctrl_ref._emission_schedule is not None  # engine streaming ran
+
+    ctrl_k, model_k = build()
+    _force_kernel_with_engine_forward(ctrl_k, model_k)
+    r_k = ctrl_k.run_simulation()
+    assert ctrl_k._pallas_active and ctrl_k._emission_schedule is not None
+
+    for metric, n in (("pv", 1), ("epe", 3)):
+        for i in range(n):
+            a = float(r_ref.get_results("book", metric, evaluation_idx=i))
+            b = float(r_k.get_results("book", metric, evaluation_idx=i))
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(a)), (metric, i, a, b)
+            ea = float(r_ref.get_mc_error("book", metric, evaluation_idx=i))
+            eb = float(r_k.get_mc_error("book", metric, evaluation_idx=i))
+            assert abs(ea - eb) <= 1e-9 * max(1.0, abs(ea))
+            ga = r_ref.get_derivatives("book", metric, evaluation_idx=i)
+            gb = r_k.get_derivatives("book", metric, evaluation_idx=i)
+            for k in ga:
+                assert abs(ga[k] - gb[k]) <= 1e-7 * max(1.0, abs(ga[k])), (
+                    metric, i, k, ga[k], gb[k],
+                )
+
+
+def test_kernel_streaming_ad_second_order_matches():
+    """Hessian rows through the combined mode (jvp-of-jvp through the rows
+    reconstruction) == engine-streaming Hessian rows."""
+    def build():
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        ctrl = _controller(
+            True, [option], model, [PVMetric()], differentiate=True,
+            num_paths=256, num_paths_presim=0,
+        )
+        ctrl.compute_higher_derivatives()
+        return ctrl, model
+
+    ctrl_ref, _ = build()
+    r_ref = ctrl_ref.run_simulation()
+    ctrl_k, model_k = build()
+    _force_kernel_with_engine_forward(ctrl_k, model_k)
+    r_k = ctrl_k.run_simulation()
+    assert ctrl_k._pallas_active and ctrl_k._emission_schedule is not None
+
+    ha = r_ref.get_second_derivatives("book", "pv", evaluation_idx=0)
+    hb = r_k.get_second_derivatives("book", "pv", evaluation_idx=0)
+    for k in ha:
+        for kk in ha[k]:
+            assert abs(ha[k][kk] - hb[k][kk]) <= 1e-6 * max(1.0, abs(ha[k][kk])), (
+                k, kk, ha[k][kk], hb[k][kk],
+            )
+
+
+def test_streaming_plus_pallas_allowed_when_differentiated():
+    """Forward-only use_pallas=True + streaming=True still raises; the same
+    combination constructs fine under differentiation (combined mode)."""
+    model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                              asset_id="eq")
+    option = EuropeanOption(Equity("eq"), 1.0, 100.0, OptionType.CALL,
+                            asset_id="eq")
+    with pytest.raises(ValueError, match="mutually"):
+        _controller(True, [option], model, [PVMetric()], use_pallas=True)
+    _controller(True, [option], model, [PVMetric()], use_pallas=True,
+                differentiate=True)  # no raise
