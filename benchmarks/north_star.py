@@ -46,7 +46,7 @@ CP = "counterparty"
 
 def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: int = 8,
           remat_paths: bool = False, streaming="auto", differentiate: bool = True,
-          num_paths_presim=None):
+          num_paths_presim=None, grad_mode: str = "auto"):
     rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
                          volatility=0.012, asset_id="irs")
     equity = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22, asset_id="eq")
@@ -89,6 +89,7 @@ def build(num_paths: int, hessian: bool, path_sharding=None, grad_chunk_size: in
         grad_chunk_size=grad_chunk_size,
         remat_paths=remat_paths,
         streaming=streaming,
+        grad_mode=grad_mode,
     )
     if hessian:
         controller.compute_higher_derivatives()
@@ -109,9 +110,13 @@ def main():
         streaming = False
     elif "--streaming" in sys.argv:
         streaming = True
+    grad_mode = "auto"
+    for a in sys.argv[1:]:
+        if a.startswith("--grad-mode="):
+            grad_mode = a.split("=")[1]
     controller = build(num_paths, hessian, grad_chunk_size=chunk,
                        remat_paths="--remat" in sys.argv,
-                       streaming=streaming)
+                       streaming=streaming, grad_mode=grad_mode)
     t0 = time.perf_counter()
     results = controller.run_simulation()
     cold = time.perf_counter() - t0

@@ -190,8 +190,8 @@ class SimulationController:
         # the device AD budget (narrower chunks beat falling back to the
         # slower scan engine); the jacobian drivers read the effective value.
         self._grad_chunk_effective = int(grad_chunk_size)
-        if grad_mode not in ("auto", "fwd", "rev"):
-            raise ValueError("grad_mode must be 'auto', 'fwd' or 'rev'")
+        if grad_mode not in ("auto", "fwd", "rev", "lin"):
+            raise ValueError("grad_mode must be 'auto', 'fwd', 'rev' or 'lin'")
         self.grad_mode = grad_mode
         # Streaming observable engine (SURVEY.md §5.7): resolve requests
         # INSIDE the path scan and never materialise the [T, D, N] state
@@ -1296,6 +1296,11 @@ class SimulationController:
                     num_paths, self.num_steps, phase,
                     emit_schedule=schedule, collect_states=False, **common,
                 )
+            # Linearize-once driver: keep the emission rows live across its
+            # tangent map (identity tag elsewhere — see _LIN_SAVED_NAMES).
+            from jax.ad_checkpoint import checkpoint_name
+
+            emissions = [checkpoint_name(e, "mcre:rows") for e in emissions]
             resolved = plan.resolve_from_emissions(schedule, emissions)
             from montecarlo_risk_engine_tpu.api.batching import EmittedTables
 
@@ -1364,6 +1369,11 @@ class SimulationController:
                     num_paths, self.num_steps, phase,
                     transpose_states=True, **common,
                 )
+            # Linearize-once driver: keep the resolution plane live across
+            # its tangent map (identity tag elsewhere — _LIN_SAVED_NAMES).
+            from jax.ad_checkpoint import checkpoint_name
+
+            states = checkpoint_name(states, "mcre:plane")
             resolved = plan.resolve_requests(params, states)
             from montecarlo_risk_engine_tpu.api.batching import ObservableTables
 
@@ -1500,6 +1510,62 @@ class SimulationController:
 
         return jac
 
+    # jax.ad_checkpoint names tagged at the production seams (the resolution
+    # plane in _simulate_and_resolve, the resolved/emitted rows in
+    # requests.py): available to name-based checkpoint policies.  The
+    # linearize-once driver currently saves everything EXCEPT the
+    # reconstruction scan (rematted at the source); a save-only-these-names
+    # outer checkpoint was measured a wash (it re-ran ~the whole downstream
+    # primal per linear pass — BENCH_NOTES round 3).
+    _LIN_SAVED_NAMES = ("mcre:plane", "mcre:rows")
+
+    def _linearized_jacfwd(self, fn, noise_of=None):
+        """jacfwd via ONE linearization + a map over the LINEAR function.
+
+        ``jax.jvp`` per chunk (:meth:`_chunked_jacfwd`) re-runs the whole
+        nonlinear primal — reconstruction scan, request resolution, LSM
+        solves, sort permutations — once per sweep; with P parameters at
+        chunk c that is ceil(P/c) redundant primal passes (measured ~0.57s
+        each on the 1M-path north star, v5e).  ``jax.linearize`` computes the
+        primal once and exposes the exact linear (tangent) map, so the sweep
+        loop runs only tangent-sized work.
+
+        The catch is residual memory: the linear function closes over every
+        primal intermediate the tangent rules need, pinned live across the
+        whole map.  The dominant junk — the reconstruction scan's per-step
+        internals — is cut at the source (ops/pallas_paths_ad.py remats the
+        reconstruction, so its residuals collapse to the frozen noise z and
+        the emitted plane/rows it outputs anyway); downstream residuals are
+        O(request rows + per-date temps), which is what memory_analysis on
+        the compiled program should be checked against on small-HBM chips.
+        (An outer save-only-these-names checkpoint over the WHOLE pipeline
+        was measured a wash at 1M paths on v5e — it re-ran ~the entire
+        downstream primal per pass; BENCH_NOTES round 3.)
+        """
+        chunk = max(1, int(self._grad_chunk_effective))
+
+        def jac(p):
+            if noise_of is None:
+                f = fn
+            else:
+                kn = noise_of(p)
+                f = lambda q: fn(q, kn)
+            _, f_lin = jax.linearize(f, p)
+            n = len(p)
+            cols = np.eye(n)
+            basis = tuple(
+                jnp.asarray(cols[j], dtype=jnp.result_type(p[j]))
+                for j in range(n)
+            )
+            rows = jax.lax.map(
+                lambda tb: f_lin(tb),
+                basis,
+                batch_size=chunk if chunk > 1 else None,
+            )  # [n, V]
+            return tuple(rows[i] for i in range(n))
+
+        return jac
+
     def _hessian_row_fn(self, grads_fn):
         """One Hessian ROW: the outer forward tangent of the gradient
         function in direction ``tb``.  ``jax.jacfwd(grads_fn)`` vmaps all P
@@ -1562,7 +1628,12 @@ class SimulationController:
             else:
                 noise_of = None
                 values_noise = None
-            if mode == "fwd":
+            if mode == "lin":
+                grads_fn = self._linearized_jacfwd(
+                    values_noise if noise_of else values_only,
+                    noise_of=noise_of,
+                )
+            elif mode == "fwd":
                 grads_fn = self._chunked_jacfwd(
                     values_noise if noise_of else values_only,
                     noise_of=noise_of,

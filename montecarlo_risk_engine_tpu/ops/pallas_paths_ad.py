@@ -352,7 +352,14 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         )
         return buf
 
-    return forward_coarse, noise_fn, recon_fn
+    # Rematerialize the reconstruction under linearize/grad: the scan's
+    # per-step internals (several [N, D]-sized temps per substep) are the
+    # bulk of a linearize-once driver's pinned residuals, while re-running
+    # the scan costs ~one engine forward (~0.09s at 1M paths on v5e).  Its
+    # OUTPUT (the coarse plane / emission rows) stays live downstream either
+    # way.  jvp-based drivers are unaffected (checkpoint is an identity for
+    # plain jvp).
+    return forward_coarse, noise_fn, jax.checkpoint(recon_fn)
 
 
 def recovered_noise_paths(model, scheme, timeline, num_paths: int,
@@ -460,7 +467,9 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
             return _flatten_row_bufs(buf)
         return buf
 
-    return forward_coarse, noise_fn, recon_fn
+    # Same remat rationale as recovered_noise_fns: drop the reconstruction
+    # scan's per-step residuals from linearize-once drivers.
+    return forward_coarse, noise_fn, jax.checkpoint(recon_fn)
 
 
 def emitted_noise_paths(model, scheme, timeline, num_paths: int,

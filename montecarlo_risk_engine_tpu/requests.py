@@ -339,6 +339,12 @@ class RequestPlan:
 
             states_sel = gather_rows(states, tidx)
             out = self.model.resolve_request_rows(params, kind, asset_id, t1s, t2s, states_sel)
+            # Linearize-once jacobian driver (controller._linearized_jacfwd):
+            # resolved rows stay live across its tangent map, so the
+            # per-pass recompute never re-runs the resolution closed forms.
+            from jax.ad_checkpoint import checkpoint_name
+
+            out = checkpoint_name(out, "mcre:rows")
             for i, (_, req) in enumerate(rows):
                 resolved[req.handle] = out[i]
 

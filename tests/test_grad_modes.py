@@ -72,6 +72,45 @@ def test_fwd_and_rev_jacobians_match():
                                        rtol=1e-9, atol=1e-12, err_msg=k)
 
 
+@pytest.mark.slow
+def test_lin_matches_fwd_jacobian():
+    """grad_mode='lin' (linearize once + map the linear function, named-save
+    checkpoint policy) is the SAME linear map as per-sweep jvp — jacobians
+    must agree to float-roundoff through LSM, netting and metrics."""
+    cf, cl = _build("fwd"), _build("lin")
+    rf, rl = cf.run_simulation(), cl.run_simulation()
+    assert cl._grad_mode_resolved == "lin"
+
+    for metric, idx in [(f"cva[{CP}]", 0), ("epe", 3)]:
+        gf = rf.get_derivatives("book", metric, evaluation_idx=idx)
+        gl = rl.get_derivatives("book", metric, evaluation_idx=idx)
+        assert set(gf) == set(gl)
+        for k in gf:
+            np.testing.assert_allclose(float(gf[k]), float(gl[k]),
+                                       rtol=1e-9, atol=1e-12, err_msg=k)
+    # values are untouched by the gradient driver
+    np.testing.assert_allclose(
+        float(rf.get_results("book", f"cva[{CP}]", evaluation_idx=0)),
+        float(rl.get_results("book", f"cva[{CP}]", evaluation_idx=0)),
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.slow
+def test_lin_hessian_matches_fwd():
+    """The per-parameter Hessian row dispatch (jvp THROUGH the linearized
+    gradient function) must reproduce the chunked-jvp Hessian."""
+    cf, cl = _build("fwd"), _build("lin")
+    cf.compute_higher_derivatives()
+    cl.compute_higher_derivatives()
+    rf, rl = cf.run_simulation(), cl.run_simulation()
+    hf = rf.get_second_derivatives("book", f"cva[{CP}]", param1="eq.spot",
+                                   param2="eq.volatility", evaluation_idx=0)
+    hl = rl.get_second_derivatives("book", f"cva[{CP}]", param1="eq.spot",
+                                   param2="eq.volatility", evaluation_idx=0)
+    np.testing.assert_allclose(float(hf), float(hl), rtol=1e-8, atol=1e-12)
+
+
 def test_auto_picks_fwd_for_few_params():
     c = _build("auto")
     c.run_simulation()
