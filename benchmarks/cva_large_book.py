@@ -36,7 +36,8 @@ CP = "counterparty"
 HAZARDS = {1.0: 0.02, 2.0: 0.022, 3.0: 0.025, 5.0: 0.028, 10.0: 0.02}
 
 
-def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
+def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000,
+         grad_mode: str = "auto"):
     full = {"european": 3940, "binary": 100, "basket": 100, "asian": 200,
             "barrier": 400, "american": 180, "flexicall": 70, "storage": 10}
     counts = {k: max(1, int(v * scale)) for k, v in full.items()}
@@ -75,6 +76,7 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
         num_steps=1,
         simulation_scheme=SimulationScheme.EULER,
         differentiate=aad,
+        grad_mode=grad_mode,
     )
 
     t0 = time.perf_counter()
@@ -93,6 +95,7 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
         "total_seconds_cold": cold,
         "total_seconds_warm": warm,
         "aad": aad,
+        "grad_mode": grad_mode,
         "cva": cva,
     }
     if aad:
@@ -104,4 +107,8 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000):
 
 if __name__ == "__main__":
     scale = float(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else 1.0
-    main(scale, aad="--aad" in sys.argv)
+    gm = "auto"
+    for a in sys.argv[1:]:
+        if a.startswith("--grad-mode="):
+            gm = a.split("=")[1]
+    main(scale, aad="--aad" in sys.argv, grad_mode=gm)

@@ -307,9 +307,12 @@ class TerminalBatch:
                     c, ns_seg[p_rows], num_segments=ctx.num_netting_sets
                 )
             )(coeffs)                                          # [T, n_ns, deg]
-            exposure = jnp.einsum(
-                "tnd,tsd->tsn", basis, coeffs_ns, precision="highest"
-            ) / numeraire[:, None, :]
+            # Mul-add over the deg axis, not dot_general: a deg-sized
+            # contracting dim pads the [T, N, deg] basis to 128 lanes on TPU
+            # (ops/noise.py rationale).
+            exposure = (
+                coeffs_ns[:, :, None, :] * basis[:, None, :, :]
+            ).sum(-1) / numeraire[:, None, :]
             total = total + exposure
         return total
 
@@ -629,8 +632,10 @@ class BasketBatch(TerminalBatch):
             spot_cols.append(self._spot_matrix(tables, assets, tidx[:, None], times[:, None])[:, 0, :])
         spots = jnp.stack(spot_cols, axis=1)  # [P, A, N]
 
-        arith = jnp.einsum("pan,pa->pn", spots, weights)
-        geo = jnp.exp(jnp.einsum("pan,pa->pn", jnp.log(spots + 1e-10), weights))
+        # Weighted sums over the (small) asset axis as mul-adds — an A-sized
+        # contracting dim would pad [P, A, N] to 128 lanes (ops/noise.py).
+        arith = (spots * weights[:, :, None]).sum(1)
+        geo = jnp.exp((jnp.log(spots + 1e-10) * weights[:, :, None]).sum(1))
         basket = jnp.where(asarray(is_geo)[:, None], geo, arith)
         numeraire = self._numeraires(tables, tidx, times)
         return jnp.maximum(signs * (basket - strikes), 0.0) / numeraire

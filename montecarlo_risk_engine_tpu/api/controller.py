@@ -1434,6 +1434,13 @@ class SimulationController:
         ``noise_of``: kernel-AD hoisting hook — computes the frozen path
         noise once and closes the pipeline over it, so the Pallas kernel +
         noise recovery run once per grads program, not once per sweep.
+
+        ``fn`` returns the (values, errors) pair and the driver returns
+        ``(values, errors, per-param rows)``: the jacobian program's own
+        primal IS the valuation, so differentiated runs never execute a
+        separate values program (one full forward saved per run).  Errors
+        ride as ``has_aux`` — NOT differentiated: a zero cotangent does not
+        protect against their backward's 0*inf (std'(0)) NaNs.
         """
         chunk = max(1, int(self._grad_chunk_effective))
 
@@ -1443,16 +1450,17 @@ class SimulationController:
             else:
                 kn = noise_of(p)
                 f = lambda q: fn(q, kn)
-            values, vjp = jax.vjp(f, p)
+            values, vjp, errors = jax.vjp(f, p, has_aux=True)
             n = values.shape[0]
             basis = jnp.eye(n, dtype=values.dtype)
             pieces = []
             for start in range(0, n, chunk):
                 cts = basis[start : start + chunk]
                 pieces.append(jax.vmap(lambda ct: vjp(ct)[0])(cts))
-            return jax.tree_util.tree_map(
+            rows = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *pieces
             )
+            return values, errors, rows
 
         return jac
 
@@ -1469,6 +1477,12 @@ class SimulationController:
         noise recovery run once per grads program, not once per sweep
         (measured v5e, north-star 1M: ~40% of each sweep was identical-z
         recomputation).
+
+        ``fn`` returns the (values, errors) pair; the driver returns
+        ``(values, errors, per-param rows)`` — every sweep's jvp computes
+        the primal anyway, so emitting it (V-sized) is free and the separate
+        values program never runs on differentiated books.  Errors ride as
+        ``has_aux`` (not differentiated).
         """
         chunk = max(1, int(self._grad_chunk_effective))
 
@@ -1501,12 +1515,16 @@ class SimulationController:
             # lax.map (not a Python loop) so the sequential sweeps REUSE
             # buffers: an unrolled chunk loop keeps every sweep's tangent
             # stack live at once (84.8GB at 1M paths for 12 params).
-            rows = jax.lax.map(
-                lambda tb: jax.jvp(f, (p,), (tb,))[1],
+            def sweep(tb):
+                values, dvalues, errors = jax.jvp(f, (p,), (tb,), has_aux=True)
+                return values, errors, dvalues
+
+            values_all, errors_all, rows = jax.lax.map(
+                sweep,
                 basis,
                 batch_size=chunk if chunk > 1 else None,
-            )  # [NB, V]
-            return tuple(rows[i] for i in range(n))
+            )  # [NB, V] each; the primal rows are identical — keep the first
+            return values_all[0], errors_all[0], tuple(rows[i] for i in range(n))
 
         return jac
 
@@ -1518,6 +1536,30 @@ class SimulationController:
     # outer checkpoint was measured a wash (it re-ran ~the whole downstream
     # primal per linear pass — BENCH_NOTES round 3).
     _LIN_SAVED_NAMES = ("mcre:plane", "mcre:rows")
+
+    # Linearization-residual budget model for grad_mode="auto": the pinned
+    # residual set measured ~40x the [T, D, N] plane bytes on the north-star
+    # book (42.9GB at plane=1.06GB / 1M paths — AOT OOM dump; ~10.8GB
+    # estimated at 262k, which compiled and ran).  Hessian books jvp THROUGH
+    # the linearized gradient, roughly doubling the live set.
+    LIN_RESIDUAL_AMP = 40.0
+
+    def _lin_auto_fits(self) -> bool:
+        """Whether the linearize-once driver's pinned residuals are estimated
+        to fit the device AD budget (grad_mode="auto" flips fwd -> lin when
+        they do; explicit grad_mode= always wins)."""
+        if not self.differentiate:
+            return False
+        n = max(self.num_paths_mainsim, self.num_paths_presim)
+        plane_bytes = (
+            len(self.simulation_timeline) * max(1, self.num_steps)
+            * self.model.state_dim * jnp.dtype(real_dtype()).itemsize * n
+        )
+        amp = self.LIN_RESIDUAL_AMP
+        if self.requires_higher_order_derivatives:
+            amp *= 2.0
+        _, ad_budget = self._auto_memory_budgets()
+        return amp * plane_bytes <= ad_budget
 
     def _linearized_jacfwd(self, fn, noise_of=None):
         """jacfwd via ONE linearization + a map over the LINEAR function.
@@ -1550,7 +1592,11 @@ class SimulationController:
             else:
                 kn = noise_of(p)
                 f = lambda q: fn(q, kn)
-            _, f_lin = jax.linearize(f, p)
+            # The linearization's primal IS the valuation (values + errors):
+            # differentiated runs read it from here and never execute a
+            # separate values program.  Errors ride as has_aux (not
+            # differentiated).
+            values, f_lin, errors = jax.linearize(f, p, has_aux=True)
             n = len(p)
             cols = np.eye(n)
             basis = tuple(
@@ -1562,7 +1608,7 @@ class SimulationController:
                 basis,
                 batch_size=chunk if chunk > 1 else None,
             )  # [n, V]
-            return tuple(rows[i] for i in range(n))
+            return values, errors, tuple(rows[i] for i in range(n))
 
         return jac
 
@@ -1578,7 +1624,10 @@ class SimulationController:
         column j."""
 
         def row(p, tb):
-            return jax.jvp(grads_fn, (p,), (tb,))[1]
+            # grads_fn returns (values, errors, rows); the Hessian row is the
+            # tangent of the rows part (value/error tangents are discarded,
+            # so their second-order ops fold away).
+            return jax.jvp(grads_fn, (p,), (tb,))[1][2]
 
         return row
 
@@ -1611,36 +1660,44 @@ class SimulationController:
             def flat_fn(p):
                 return self._flatten(self._compute(p))
 
-            values_only = lambda p: flat_fn(p)[0]
             mode = self.grad_mode
             if mode == "auto":
                 # static count — an eval_shape here would trace the whole
                 # pipeline a second time (28s of the 50k-book cold start)
                 num_values = sum(n for ns in self._result_spec_cached() for n in ns)
                 mode = "fwd" if len(params) <= num_values else "rev"
+                if mode == "fwd" and self._lin_auto_fits():
+                    # One primal + P linear passes beats ceil(P/chunk) full
+                    # jvp re-runs whenever the linearization residuals fit
+                    # (measured: 5k-product CVA book 7.59s -> 4.44s; the
+                    # north-star 262k book 1.22s -> 1.04s; v5e).
+                    mode = "lin"
             if self._pallas_active and self.differentiate:
                 # Hoist the kernel + noise recovery out of the tangent
                 # sweeps: z is sweep-invariant by construction.
                 noise_of = self._kernel_noise_of
-                values_noise = lambda p, kn: self._flatten(
+                pair_noise = lambda p, kn: self._flatten(
                     self._compute(p, kernel_noise=kn)
-                )[0]
+                )
             else:
                 noise_of = None
-                values_noise = None
+                pair_noise = None
+            # Every driver takes the (values, errors) pair function and
+            # returns (values, errors, rows): the grads program's primal IS
+            # the valuation, so differentiated runs execute ONE program.
             if mode == "lin":
                 grads_fn = self._linearized_jacfwd(
-                    values_noise if noise_of else values_only,
+                    pair_noise if noise_of else flat_fn,
                     noise_of=noise_of,
                 )
             elif mode == "fwd":
                 grads_fn = self._chunked_jacfwd(
-                    values_noise if noise_of else values_only,
+                    pair_noise if noise_of else flat_fn,
                     noise_of=noise_of,
                 )
             else:
                 grads_fn = self._chunked_jacrev(
-                    values_noise if noise_of else values_only,
+                    pair_noise if noise_of else flat_fn,
                     noise_of=noise_of,
                 )
             self._grad_mode_resolved = mode
@@ -1985,18 +2042,24 @@ class SimulationController:
         self._build_jitted(params)
 
         t1 = time.perf_counter()
-        values, errors = self._jitted_values(params)
-        values.block_until_ready()
-        t2 = time.perf_counter()
-
         grads = None
         hessians = None
         if self.differentiate:
-            grads = self._jitted_grads(params)
+            # The jacobian program's primal IS the valuation: one program
+            # returns (values, errors, rows), so the separate values
+            # executable never runs on differentiated books (one full
+            # forward saved per run — see the jacobian drivers).
+            values, errors, grads = self._jitted_grads(params)
+            jax.block_until_ready(values)
+            t2 = time.perf_counter()
             jax.block_until_ready(grads)
             if self.requires_higher_order_derivatives:
                 hessians = self._run_hessians(params)
                 jax.block_until_ready(hessians)
+        else:
+            values, errors = self._jitted_values(params)
+            values.block_until_ready()
+            t2 = time.perf_counter()
         t3 = time.perf_counter()
 
         # Rebuild the nested result structure from the flat vectors.

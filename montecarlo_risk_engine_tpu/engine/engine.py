@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from montecarlo_risk_engine_tpu import rng
 from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
+from montecarlo_risk_engine_tpu.ops.noise import correlate_noise
 
 
 def build_step_schedule(calibration_date: float, timeline: Sequence[float]):
@@ -188,7 +189,9 @@ def simulate_paths(
             )
         else:
             chol = chol_const
-        noise = z @ chol.T
+        # Mul-add contraction, not dot_general: a sim_dim-sized contracting
+        # dim on the MXU pads its operand to 128 lanes (ops/noise.py).
+        noise = correlate_noise(z, chol)
 
         uniform = None
         if needs_uniform:

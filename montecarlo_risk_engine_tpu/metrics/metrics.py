@@ -145,8 +145,12 @@ class EEPEMetric(Metric):
 # Above this many paths PFE switches from a global sort to the bisection
 # order statistic (ops/quantile.order_statistics_bisect): exact same value,
 # but only count-reductions — no O(N log N) sort and, on a sharded paths
-# axis, no all-gather of the exposure vector (SURVEY.md §5.8).
-PFE_BISECT_THRESHOLD = 2_000_000
+# axis, no all-gather of the exposure vector (SURVEY.md §5.8).  Measured on
+# a v5e at [29 dates, 1M paths] f32: bisect 40ms vs sort 88ms forward, and
+# 40ms vs 498ms under jvp (the sort's tangent is a key-value re-sort), so
+# the crossover sits far below the old 2M safety threshold — differentiated
+# exposure books pay the sort once per tangent sweep.
+PFE_BISECT_THRESHOLD = 131_072
 
 
 class PFEMetric(Metric):

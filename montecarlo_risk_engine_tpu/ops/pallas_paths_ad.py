@@ -60,6 +60,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from montecarlo_risk_engine_tpu.ops.noise import correlate_noise
+
 
 def dense_timeline(calibration_date: float, timeline: Sequence[float],
                    num_steps: int):
@@ -312,6 +314,15 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
         state0 = model.init_state(p, num_paths).astype(dtype)
+        # Apply the noise transform for ALL steps in one batched mul-add
+        # contraction (ops/noise.py — NOT a dot: a sim_dim-sized contracting
+        # dim makes the TPU dot lowering hold z in a 128-lane-padded layout,
+        # 42.7x memory at sim_dim=3; the 1M-path linearize-driver OOM in
+        # BENCH_NOTES round 3).  One op replaces T' per-step dots; L(p)
+        # carries the parameter dependence exactly as before (the engine's
+        # z @ L(p).T per substep).
+        transforms = jax.vmap(lambda dts: transform_at(p, dts, dtype))(dt_safe)
+        corr = correlate_noise(z, transforms)
         if emit_schedule is not None:
             bufs0, write_rows = _emit_scan_pieces(
                 model, p, emit_schedule, state0, len(idx), dtype
@@ -319,8 +330,7 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
 
             def body(carry, xs):
                 state, bufs = carry
-                t1, dts, is_live, slot, z_step = xs
-                noise = z_step @ transform_at(p, dts, dtype).T
+                t1, dts, is_live, slot, noise = xs
                 new = model.step(p, scheme, t1, t1 + dts, state, noise)
                 new = jnp.where(is_live, new, state)
                 # Every substep writes its interval's slot; the endpoint
@@ -330,7 +340,7 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
 
             (_, bufs), _ = jax.lax.scan(
                 body, (state0, bufs0),
-                (t_prev_arr, dt_safe, live, slots_arr, z),
+                (t_prev_arr, dt_safe, live, slots_arr, corr),
             )
             return _flatten_row_bufs(bufs)
 
@@ -338,8 +348,7 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
 
         def body(carry, xs):
             state, buf = carry
-            t1, dts, is_live, slot, z_step = xs
-            noise = z_step @ transform_at(p, dts, dtype).T
+            t1, dts, is_live, slot, noise = xs
             new = model.step(p, scheme, t1, t1 + dts, state, noise)
             new = jnp.where(is_live, new, state)
             buf = jax.lax.dynamic_update_slice_in_dim(
@@ -348,7 +357,7 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
             return (new, buf), None
 
         (_, buf), _ = jax.lax.scan(
-            body, (state0, buf0), (t_prev_arr, dt_safe, live, slots_arr, z)
+            body, (state0, buf0), (t_prev_arr, dt_safe, live, slots_arr, corr)
         )
         return buf
 
@@ -441,14 +450,18 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
             bufs0 = jnp.zeros((len(idx),) + state0.shape, dtype)
             write_rows = None
 
+        # One batched mul-add contraction for every step's noise transform
+        # (QE's is the identity — correlation enters through the K
+        # coefficients — but reapply for generality); same rationale as
+        # recovered_noise_fns: no per-step tiny dot, no padded-layout z.
+        transforms = jax.vmap(
+            lambda dts: model.noise_transform(p, scheme, dts).astype(dtype)
+        )(dt_safe)
+        corr = correlate_noise(z, transforms)
+
         def body(carry, xs):
             state, buf = carry
-            t1, dts, is_live, slot, z_step, u_step = xs
-            # QE leaves the driver normals uncorrelated (correlation enters
-            # through the K coefficients — models/heston.py), so the emitted
-            # z IS the corr_noise; reapply the (identity) transform anyway
-            # for generality with other schemes.
-            noise_step = z_step @ model.noise_transform(p, scheme, dts).T.astype(dtype)
+            t1, dts, is_live, slot, noise_step, u_step = xs
             new = model.step(p, scheme, t1, t1 + dts, state, noise_step,
                              uniform=u_step)
             new = jnp.where(is_live, new, state)
@@ -461,7 +474,7 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
 
         (_, buf), _ = jax.lax.scan(
             body, (state0, bufs0),
-            (t_prev_arr, dt_safe, live, slots_arr, z, u),
+            (t_prev_arr, dt_safe, live, slots_arr, corr, u),
         )
         if emit_schedule is not None:
             return _flatten_row_bufs(buf)

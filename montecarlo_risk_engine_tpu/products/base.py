@@ -156,9 +156,14 @@ class Product:
         regression_function: RegressionFunction,
         coeffs_all_states,
     ):
-        """[N, S] grid of continuation values: basis(x) @ coeffs[S, deg].T."""
+        """[N, S] grid of continuation values: basis(x) @ coeffs[S, deg].T.
+
+        Contracted as a broadcasted mul-add, not dot_general: a deg-sized
+        contracting dim makes the TPU dot lowering pad the [N, deg] basis
+        operand to 128 lanes (42.7x memory traffic at deg=3 — ops/noise.py).
+        """
         A = regression_function.get_regression_matrix(explanatory)
-        return A @ coeffs_all_states.T
+        return (A[:, None, :] * coeffs_all_states[None, :, :]).sum(-1)
 
     def compute_continuation_values(
         self,
