@@ -1776,8 +1776,17 @@ class SimulationController:
             # width from _decide_pallas is the conservative floor) — at 1M
             # paths x 59 dates this widens chunk 1 -> 2-4 on a 16GB chip,
             # worth ~1.7x on the jacobian sweep (BENCH_NOTES, 262k scaling).
+            from montecarlo_risk_engine_tpu.ops.pallas_paths_ad import (
+                EMIT_PLANE_CHUNK,
+            )
+
             n = max(self.num_paths_mainsim, self.num_paths_presim)
-            rows_bytes = self._emission_schedule.num_emitted_rows() * 4 * n
+            # Per-tangent buffers: the emitted request rows plus the
+            # reconstruction's [chunk, N, D] mini-plane (_rows_recon).
+            rows_bytes = (
+                self._emission_schedule.num_emitted_rows()
+                + EMIT_PLANE_CHUNK * self.model.state_dim
+            ) * 4 * n
             chunk = self._kernel_ad_sweep_chunk(rows_bytes)
             if chunk >= 1:
                 self._grad_chunk_effective = max(

@@ -144,50 +144,85 @@ def rows_from_states(model, params, schedule, states):
     return outs
 
 
-def _emit_scan_pieces(model, params, schedule, state0, num_coarse, dtype):
-    """(bufs0, write_rows) for a rows-emitting reconstruction scan.
+# Coarse points per mini-plane in the rows-emitting reconstruction.  Small
+# enough that the per-tangent mini-plane stays far below the full coarse
+# plane (8/57 of it on the north-star book), large enough that each chunk's
+# row resolution is one well-tiled batched op.
+EMIT_PLANE_CHUNK = 8
 
-    ``bufs0``: zero-initialised per-group carry buffers
-    [T_coarse, K, N] / [T_coarse, K] (shapes via abstract eval — resolution
-    output is [K, N] unless the observable is state-independent).
-    ``write_rows(bufs, slot, state)``: resolve every group's rows for coarse
-    ``slot`` against the live state and write them in place; the interval's
-    endpoint write lands last in the scan, so no masks are needed (same
-    contract as the state-plane carry buffer)."""
+
+def _rows_recon(model, params, scheme, schedule, state0, t_prev_arr, dt_safe,
+                live, slots, corr, num_coarse, dtype, uniforms=None,
+                emit_chunk: int = EMIT_PLANE_CHUNK):
+    """Time-chunked rows-emitting reconstruction -> streaming-format rows.
+
+    Round-3 measurement (BENCH_NOTES "the v5e memory wall"): resolving
+    request rows INSIDE the reconstruction scan — one tiny [K, N] resolution
+    + in-place buffer write per dense step — ran ~3.3x slower per tangent
+    sweep than the bulk plane resolution it replaced (the per-step
+    resolutions are too small to tile onto the VPU lanes).  This version
+    scans ``emit_chunk`` coarse intervals at a time into a
+    [chunk, N, D] mini-plane, then resolves the whole chunk's rows in ONE
+    batched (vmap-over-chunk) resolution per group: bulk-resolution
+    efficiency with per-tangent memory O(chunk·N·D + rows·N) instead of the
+    full [T_coarse, N, D] plane — the structural fix that lets 16GB chips
+    widen their tangent chunks at 1M paths.
+
+    The outer chunk loop is unrolled host-side (≤ ceil(T/chunk) scans of
+    static length); the endpoint-writes-last contract of the slot buffer is
+    unchanged, so emitted rows are resolved at the interval's point state —
+    the streaming engine's semantics (engine/engine.py point_body).
+    """
     groups = schedule.groups
-    t1_tabs = [jnp.asarray(np.asarray(g.t1_tab), dtype) for g in groups]
-    t2_tabs = [jnp.asarray(np.asarray(g.t2_tab), dtype) for g in groups]
+    t1_tabs = [np.asarray(g.t1_tab) for g in groups]
+    t2_tabs = [np.asarray(g.t2_tab) for g in groups]
+    slots = np.asarray(slots)
+    emit_chunk = max(1, int(emit_chunk))
 
-    def resolve_group(g, t1_row, t2_row, state):
-        state_b = jnp.broadcast_to(state, (g.K,) + state.shape)
-        return model.resolve_request_rows(
-            params, g.kind, g.asset_id, t1_row, t2_row, state_b
-        )
-
-    bufs0 = []
-    for g, tab1, tab2 in zip(groups, t1_tabs, t2_tabs):
-        row_shape = jax.eval_shape(
-            lambda st, g=g, tab1=tab1, tab2=tab2: resolve_group(
-                g, tab1[0], tab2[0], st
-            ),
-            state0,
-        )
-        bufs0.append(
-            jnp.zeros((num_coarse,) + row_shape.shape, row_shape.dtype)
-        )
-
-    def write_rows(bufs, slot, state):
-        new_bufs = []
-        for g, tab1, tab2, buf in zip(groups, t1_tabs, t2_tabs, bufs):
-            rows = resolve_group(g, tab1[slot], tab2[slot], state)
-            new_bufs.append(
-                jax.lax.dynamic_update_slice_in_dim(
-                    buf, rows[None].astype(buf.dtype), slot, axis=0
-                )
+    def resolve_chunk(g, t1_rows, t2_rows, states):
+        # [c, K] request tables x [c, N, D] states -> [c, K, N] (or [c, K])
+        return jax.vmap(
+            lambda t1r, t2r, st: model.resolve_request_rows(
+                params, g.kind, g.asset_id, t1r, t2r,
+                jnp.broadcast_to(st, (g.K,) + st.shape),
             )
-        return tuple(new_bufs)
+        )(t1_rows, t2_rows, states)
 
-    return tuple(bufs0), write_rows
+    out_chunks = [[] for _ in groups]
+    state = state0
+    for c0 in range(0, num_coarse, emit_chunk):
+        c1 = min(c0 + emit_chunk, num_coarse)
+        d0 = int(np.searchsorted(slots, c0, side="left"))
+        d1 = int(np.searchsorted(slots, c1 - 1, side="right"))
+        mini0 = jnp.zeros((c1 - c0,) + state.shape, dtype)
+        xs = (t_prev_arr[d0:d1], dt_safe[d0:d1], live[d0:d1],
+              jnp.asarray(slots[d0:d1] - c0, dtype=jnp.int32), corr[d0:d1])
+        if uniforms is not None:
+            xs = xs + (uniforms[d0:d1],)
+
+        def body(carry, x):
+            st, mini = carry
+            if uniforms is not None:
+                t1, dts, is_live, sl, noise, u_step = x
+                new = model.step(params, scheme, t1, t1 + dts, st, noise,
+                                 uniform=u_step)
+            else:
+                t1, dts, is_live, sl, noise = x
+                new = model.step(params, scheme, t1, t1 + dts, st, noise)
+            new = jnp.where(is_live, new, st)
+            mini = jax.lax.dynamic_update_slice_in_dim(
+                mini, new[None], sl, axis=0
+            )
+            return (new, mini), None
+
+        (state, mini), _ = jax.lax.scan(body, (state, mini0), xs)
+        for gi, (g, tab1, tab2) in enumerate(zip(groups, t1_tabs, t2_tabs)):
+            out_chunks[gi].append(resolve_chunk(
+                g, jnp.asarray(tab1[c0:c1], dtype),
+                jnp.asarray(tab2[c0:c1], dtype), mini,
+            ))
+    bufs = [jnp.concatenate(rs, axis=0) for rs in out_chunks]
+    return _flatten_row_bufs(bufs)
 
 
 def _flatten_row_bufs(bufs):
@@ -237,10 +272,11 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
     ``emit_schedule`` (an ``EmissionSchedule``): the kernel-streaming AD
     mode.  ``forward_coarse``/``recon_fn`` then return streaming-format
     emissions (one [T*K, N] / [T*K] array per group) instead of the coarse
-    state plane: the reconstruction scan resolves each group's request rows
-    against the live [N, D] state and writes them into ROW-sized carry
-    buffers, so a tangent sweep never materialises a [T, N, D] plane — the
-    per-tangent memory is O(request rows x paths), the streaming engine's
+    state plane: the reconstruction scans ``EMIT_PLANE_CHUNK`` coarse
+    intervals at a time into a mini-plane and bulk-resolves each chunk's
+    request rows (:func:`_rows_recon`), so a tangent sweep never
+    materialises a [T, N, D] plane — the per-tangent memory is
+    O(request rows x paths + chunk x N x D), the streaming engine's
     contract (SURVEY.md §5.7), which is what lets the jacobian drivers widen
     their tangent chunks on 16GB chips."""
     dense, orig_idx = dense_timeline(model.calibration_date, timeline, num_steps)
@@ -324,25 +360,10 @@ def recovered_noise_fns(model, scheme, timeline, num_paths: int,
         transforms = jax.vmap(lambda dts: transform_at(p, dts, dtype))(dt_safe)
         corr = correlate_noise(z, transforms)
         if emit_schedule is not None:
-            bufs0, write_rows = _emit_scan_pieces(
-                model, p, emit_schedule, state0, len(idx), dtype
+            return _rows_recon(
+                model, p, scheme, emit_schedule, state0, t_prev_arr,
+                dt_safe, live, slots, corr, len(idx), dtype,
             )
-
-            def body(carry, xs):
-                state, bufs = carry
-                t1, dts, is_live, slot, noise = xs
-                new = model.step(p, scheme, t1, t1 + dts, state, noise)
-                new = jnp.where(is_live, new, state)
-                # Every substep writes its interval's slot; the endpoint
-                # write lands last, so the emitted rows are resolved at the
-                # point state — the streaming engine's semantics.
-                return (new, write_rows(bufs, slot, new)), None
-
-            (_, bufs), _ = jax.lax.scan(
-                body, (state0, bufs0),
-                (t_prev_arr, dt_safe, live, slots_arr, corr),
-            )
-            return _flatten_row_bufs(bufs)
 
         buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
 
@@ -442,13 +463,6 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
         dt_safe = jnp.where(live, dt_arr, jnp.asarray(1.0, dtype))
         slots_arr = jnp.asarray(slots)
         state0 = model.init_state(p, num_paths).astype(dtype)
-        if emit_schedule is not None:
-            bufs0, write_rows = _emit_scan_pieces(
-                model, p, emit_schedule, state0, len(idx), dtype
-            )
-        else:
-            bufs0 = jnp.zeros((len(idx),) + state0.shape, dtype)
-            write_rows = None
 
         # One batched mul-add contraction for every step's noise transform
         # (QE's is the identity — correlation enters through the K
@@ -458,6 +472,11 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
             lambda dts: model.noise_transform(p, scheme, dts).astype(dtype)
         )(dt_safe)
         corr = correlate_noise(z, transforms)
+        if emit_schedule is not None:
+            return _rows_recon(
+                model, p, scheme, emit_schedule, state0, t_prev_arr,
+                dt_safe, live, slots, corr, len(idx), dtype, uniforms=u,
+            )
 
         def body(carry, xs):
             state, buf = carry
@@ -465,19 +484,16 @@ def emitted_noise_fns(model, scheme, timeline, num_paths: int,
             new = model.step(p, scheme, t1, t1 + dts, state, noise_step,
                              uniform=u_step)
             new = jnp.where(is_live, new, state)
-            if write_rows is not None:
-                return (new, write_rows(buf, slot, new)), None
             buf = jax.lax.dynamic_update_slice_in_dim(
                 buf, new[None], slot, axis=0
             )
             return (new, buf), None
 
+        buf0 = jnp.zeros((len(idx),) + state0.shape, dtype)
         (_, buf), _ = jax.lax.scan(
-            body, (state0, bufs0),
+            body, (state0, buf0),
             (t_prev_arr, dt_safe, live, slots_arr, corr, u),
         )
-        if emit_schedule is not None:
-            return _flatten_row_bufs(buf)
         return buf
 
     # Same remat rationale as recovered_noise_fns: drop the reconstruction
