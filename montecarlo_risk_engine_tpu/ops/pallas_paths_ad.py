@@ -153,7 +153,7 @@ EMIT_PLANE_CHUNK = 8
 
 def _rows_recon(model, params, scheme, schedule, state0, t_prev_arr, dt_safe,
                 live, slots, corr, num_coarse, dtype, uniforms=None,
-                emit_chunk: int = EMIT_PLANE_CHUNK):
+                emit_chunk=None):
     """Time-chunked rows-emitting reconstruction -> streaming-format rows.
 
     Round-3 measurement (BENCH_NOTES "the v5e memory wall"): resolving
@@ -177,6 +177,8 @@ def _rows_recon(model, params, scheme, schedule, state0, t_prev_arr, dt_safe,
     t1_tabs = [np.asarray(g.t1_tab) for g in groups]
     t2_tabs = [np.asarray(g.t2_tab) for g in groups]
     slots = np.asarray(slots)
+    if emit_chunk is None:
+        emit_chunk = EMIT_PLANE_CHUNK  # module attr at call time (testable)
     emit_chunk = max(1, int(emit_chunk))
 
     def resolve_chunk(g, t1_rows, t2_rows, states):

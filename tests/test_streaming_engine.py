@@ -428,6 +428,53 @@ def test_kernel_streaming_ad_second_order_matches():
             )
 
 
+@pytest.mark.parametrize("emit_chunk", [1, 3, 1_000_000])
+def test_kernel_streaming_ad_emit_chunk_invariant(monkeypatch, emit_chunk):
+    """The time-chunked rows reconstruction (round-3: _rows_recon scans
+    EMIT_PLANE_CHUNK coarse intervals into a mini-plane, then bulk-resolves
+    the chunk's rows) must be chunking-INVARIANT: values, errors, and
+    derivatives identical for chunk=1 (per-interval), an uneven chunk, and
+    one covering the whole timeline."""
+    from montecarlo_risk_engine_tpu.ops import pallas_paths_ad
+
+    def build():
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        products = [
+            EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                           asset_id="eq"),
+            AsianOption(0.25, 2.0, 95.0, 4, OptionType.CALL, asset_id="eq"),
+        ]
+        ctrl = _controller(
+            True, products, model, [PVMetric(), EPEMetric()],
+            exposure_timeline=[0.5, 1.0, 1.5], differentiate=True,
+            num_paths=256, num_paths_presim=256,
+        )
+        return ctrl, model
+
+    ctrl_ref, model_ref = build()
+    _force_kernel_with_engine_forward(ctrl_ref, model_ref)
+    r_ref = ctrl_ref.run_simulation()  # default EMIT_PLANE_CHUNK
+
+    monkeypatch.setattr(pallas_paths_ad, "EMIT_PLANE_CHUNK", emit_chunk)
+    ctrl_c, model_c = build()
+    _force_kernel_with_engine_forward(ctrl_c, model_c)
+    r_c = ctrl_c.run_simulation()
+    assert ctrl_c._pallas_active and ctrl_c._emission_schedule is not None
+
+    for metric, n in (("pv", 1), ("epe", 3)):
+        for i in range(n):
+            a = float(r_ref.get_results("book", metric, evaluation_idx=i))
+            b = float(r_c.get_results("book", metric, evaluation_idx=i))
+            assert abs(a - b) <= 1e-12 * max(1.0, abs(a)), (metric, i, a, b)
+            ga = r_ref.get_derivatives("book", metric, evaluation_idx=i)
+            gb = r_c.get_derivatives("book", metric, evaluation_idx=i)
+            for k in ga:
+                assert abs(ga[k] - gb[k]) <= 1e-10 * max(1.0, abs(ga[k])), (
+                    metric, i, k, ga[k], gb[k],
+                )
+
+
 def test_streaming_plus_pallas_allowed_when_differentiated():
     """Forward-only use_pallas=True + streaming=True still raises; the same
     combination constructs fine under differentiation (combined mode)."""
