@@ -87,44 +87,61 @@ def _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho, kappa, theta
     width 0.3, psi-switch width 0.5 — symmetric_linear_smoothing in
     utils/maths.py) so a differentiated kernel run produces the SAME smoothed
     trajectory the XLA engine's validated AAD contract uses; False keeps the
-    hard branches of the forward-only speed path."""
+    hard branches of the forward-only speed path.
+
+    Every subexpression that depends only on (params, dt) is grouped into a
+    scalar BEFORE touching the per-path vectors: Mosaic does not reassociate
+    float math, so ``v * sigma * sigma * ekt ...`` costs one VPU op per
+    factor while ``v * c1`` costs one total.  The regrouping (plus
+    ``sqrt(a)*sqrt(b) -> sqrt(a*b)``) is worth 1.21x on the whole kernel
+    (marginal 3.48 -> 2.88 ms at 1M paths x 40 steps on v5e — BENCH_NOTES
+    round 3, "where the kernel time actually goes"); the trajectory is the
+    same map up to f32 rounding (statistical-equivalence suites unchanged).
+    """
     eps = 1e-12
+    # ---- scalars (params x dt only; dt is a compile-time constant) ----
     ekt = jnp.exp(-kappa * dt)
+    one_m_ekt = 1.0 - ekt
+    sig2 = sigma * sigma
+    c_m = theta * one_m_ekt                      # m = c_m + v * ekt
+    c1 = sig2 * ekt * one_m_ekt / kappa          # s2 = v * c1 + c2
+    c2 = theta * sig2 * one_m_ekt * one_m_ekt / (2.0 * kappa)
+    k0 = -rho * kappa * theta / sigma * dt
+    k1 = (kappa * rho / sigma - 0.5) * dt - rho / sigma
+    k2 = rho / sigma
+    k3 = (1.0 - rho * rho) * dt
+    drift = rate * dt + k0
 
-    m = theta + (v - theta) * ekt
-    s2 = (
-        v * sigma * sigma * ekt * (1.0 - ekt) / kappa
-        + theta * sigma * sigma * (1.0 - ekt) ** 2 / (2.0 * kappa)
-    )
-    psi = s2 / (m * m + eps)
+    # ---- per-path vector ops ----
+    m = c_m + v * ekt
+    s2 = v * c1 + c2
+    m2 = m * m + eps
+    psi = s2 / m2
+    inv_psi = m2 / (s2 + eps)
 
-    inv_psi = 1.0 / (psi + eps)
     tail = jnp.maximum(2.0 * inv_psi - 1.0, 0.0)
-    b2 = jnp.maximum(2.0 * inv_psi - 1.0 + jnp.sqrt(2.0 * inv_psi) * jnp.sqrt(tail), 0.0)
+    b2 = jnp.maximum(tail + jnp.sqrt(2.0 * inv_psi * tail), 0.0)
     a = m / (1.0 + b2)
-    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+    sb2_z = jnp.sqrt(b2) + z_v
+    v_quad = a * (sb2_z * sb2_z)
 
     p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-6)
-    beta = (1.0 - p) / (m + eps)
-    v_tail = jnp.log(jnp.maximum(1.0 - p, eps) / jnp.maximum(1.0 - u, eps)) / (beta + eps)
+    one_m_p = 1.0 - p
+    v_tail = (
+        jnp.log(jnp.maximum(one_m_p, eps) / jnp.maximum(1.0 - u, eps))
+        * (m + eps) / (one_m_p + eps)
+    )
     if smoothing:
         w_mass = jnp.clip((u - p + 0.3) / 0.6, 0.0, 1.0)
         v_exp = w_mass * v_tail
-        w = jnp.clip((psi - 1.5 + 0.5) / 1.0, 0.0, 1.0)
+        w = jnp.clip(psi - 1.0, 0.0, 1.0)
         v_next = (1.0 - w) * v_quad + w * v_exp
     else:
         v_exp = jnp.where(u > p, v_tail, 0.0)
         v_next = jnp.where(psi > 1.5, v_exp, v_quad)
 
-    gamma1 = 1.0
-    k0 = -rho * kappa * theta / sigma * dt
-    k1 = (kappa * rho / sigma - 0.5) * gamma1 * dt - rho / sigma
-    k2 = rho / sigma
-    k3 = (1.0 - rho * rho) * gamma1 * dt
-
-    var_int = jnp.maximum(k3 * v, 0.0)
-    vol = jnp.sqrt(jnp.maximum(var_int, eps))
-    log_s_next = log_s + rate * dt + k0 + k1 * v + k2 * v_next + vol * z_s
+    vol = jnp.sqrt(jnp.maximum(k3 * v, eps))
+    log_s_next = (log_s + drift) + k1 * v + k2 * v_next + vol * z_s
     return log_s_next, v_next
 
 
