@@ -95,6 +95,7 @@ class SimulationController:
         streaming: object = "auto",
         use_pallas: object = "auto",
         sampler: str = "pseudo",
+        qmc_bridge: bool = False,
     ):
         self.risk_metrics = risk_metrics
         netting_sets = list(netting_sets)
@@ -182,6 +183,19 @@ class SimulationController:
                 "sampler='sobol' is incompatible with antithetic sampling"
             )
         self.sampler = sampler
+        # Brownian-bridge dimension ordering for the Sobol sampler
+        # (ops/sobol.py brownian_bridge_matrix): the driver normals of all
+        # substeps become one orthogonal rotation of bridge-ordered Sobol
+        # normals, so the best-distributed leading dimensions carry the
+        # path's coarse structure (terminal value, then midpoints) — the
+        # classic effective-dimension reduction for path-dependent payoffs.
+        # Identical joint law; only the QMC equidistribution quality of what
+        # each dimension integrates changes.  Costs one [T_sub, N, sim_dim]
+        # rotated-normal plane per phase, so it suits plane-mode books (at
+        # streaming scale the plane would dominate memory again).
+        if qmc_bridge and sampler != "sobol":
+            raise ValueError("qmc_bridge=True requires sampler='sobol'")
+        self.qmc_bridge = bool(qmc_bridge)
         # Rematerialize path steps in reverse-mode AD (memory/compute trade
         # for very large differentiated runs; see engine.simulate_paths).
         self.remat_paths = bool(remat_paths)
@@ -1258,7 +1272,7 @@ class SimulationController:
         common = dict(
             root_seed=self.root_seed, path_sharding=self.path_sharding,
             antithetic=self.antithetic, remat=self.remat_paths,
-            sampler=self.sampler,
+            sampler=self.sampler, qmc_bridge=self.qmc_bridge,
         )
         if schedule is not None:
             if self._pallas_active:

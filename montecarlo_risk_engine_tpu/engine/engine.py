@@ -32,6 +32,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from montecarlo_risk_engine_tpu import rng
 from montecarlo_risk_engine_tpu.config import SimulationScheme, asarray, real_dtype
@@ -67,6 +68,7 @@ def simulate_paths(
     emit_schedule=None,
     collect_states: bool = True,
     sampler: str = "pseudo",
+    qmc_bridge: bool = False,
 ):
     """Simulate states at each timeline point.
 
@@ -78,6 +80,11 @@ def simulate_paths(
     static block of dimensions (ops/sobol.py; another reference-absent
     capability).  Mutually exclusive with antithetic (low-discrepancy points
     are not negation-symmetric).
+    qmc_bridge: with sampler="sobol", rotate the driver normals through a
+    Brownian-bridge ordering (ops/sobol.py brownian_bridge_matrix) so the
+    leading Sobol dimensions carry the coarse path structure — identical
+    joint law, far better QMC convergence for path-dependent payoffs; costs
+    a [T_sub, N, sim_dim] rotated plane built once before the scan.
     remat: jax.checkpoint the per-point step so reverse-mode AD recomputes the
     in-step intermediates (RNG bits, noise, branch terms) instead of storing
     them — trades ~2x step FLOPs for O(state) instead of O(intermediates)
@@ -107,6 +114,10 @@ def simulate_paths(
     if sampler == "sobol" and antithetic:
         raise ValueError("sampler='sobol' is incompatible with antithetic "
                          "(Sobol points are not negation-symmetric)")
+    if qmc_bridge and sampler != "sobol":
+        raise ValueError("qmc_bridge requires sampler='sobol' (the bridge is "
+                         "a quasi-random dimension-ordering device; pseudo-"
+                         "random draws are exchangeable so it would be a no-op)")
     dtype = real_dtype()
     num_points = len(timeline)
     if num_points == 0:
@@ -135,17 +146,72 @@ def simulate_paths(
         # direction-number table is a HOST numpy constant (a trace-time
         # device constant would round-trip through the remote relay).
         qmc_dims_step = sim_dim + (1 if needs_uniform else 0)
-        qmc_vtab = direction_numbers(num_points * num_steps * qmc_dims_step)
-        qmc_shift = rng.qmc_shift(phase_k, qmc_vtab.shape[0])
-
-        def qmc_block(counter):
-            """Scrambled uniforms for this substep's dimensions: [N, dims]."""
-            off = counter * qmc_dims_step
-            v_k = jax.lax.dynamic_slice(
-                jnp.asarray(qmc_vtab), (off, 0), (qmc_dims_step, qmc_vtab.shape[1])
+        bridge_plane = None
+        if qmc_bridge:
+            # Brownian-bridge dimension ordering (ops/sobol.py): the driver
+            # normals of ALL substeps are one orthogonal rotation of
+            # bridge-ordered Sobol normals — level l of factor f sits at
+            # Sobol dimension l*sim_dim + f, so every factor's coarse path
+            # structure lands on the best-distributed leading dimensions.
+            # The rotated [T_sub, N, sim_dim] plane is built ONCE before the
+            # scan (an MXU matmul over the level axis); the QE uniforms keep
+            # their per-substep dimensions AFTER the normal block.
+            from montecarlo_risk_engine_tpu.ops.sobol import (
+                brownian_bridge_matrix,
             )
-            s_k = jax.lax.dynamic_slice(qmc_shift, (off,), (qmc_dims_step,))
-            return sobol_uniforms(num_paths, v_k, s_k, dtype)
+
+            dt_sub_host = []
+            t_prev_host = float(model.calibration_date)
+            for t_point in timeline:
+                d_sub = (float(t_point) - t_prev_host) / num_steps
+                dt_sub_host.extend([max(d_sub, 0.0)] * num_steps)
+                t_prev_host = float(t_point)
+            bridge_m = brownian_bridge_matrix(np.asarray(dt_sub_host))
+            num_levels = bridge_m.shape[1]
+            dims_normal = num_levels * sim_dim
+            dims_uniform = num_points * num_steps if needs_uniform else 0
+            qmc_vtab = direction_numbers(dims_normal + dims_uniform)
+            qmc_shift = rng.qmc_shift(phase_k, qmc_vtab.shape[0])
+            zeta = ndtri(sobol_uniforms(
+                num_paths, jnp.asarray(qmc_vtab[:dims_normal]),
+                qmc_shift[:dims_normal], dtype,
+            )).reshape(num_paths, num_levels, sim_dim)
+            if path_sharding is not None:
+                zeta = jax.lax.with_sharding_constraint(zeta, path_sharding)
+            bridge_plane = jnp.einsum(
+                "tl,nlf->tnf", jnp.asarray(bridge_m, dtype), zeta
+            )
+
+            def qmc_block(counter):
+                """Bridge normals for this substep + its scrambled uniform."""
+                z_k = bridge_plane[counter]
+                if not needs_uniform:
+                    return z_k, None
+                v_u = jax.lax.dynamic_slice(
+                    jnp.asarray(qmc_vtab), (dims_normal + counter, 0),
+                    (1, qmc_vtab.shape[1]),
+                )
+                s_u = jax.lax.dynamic_slice(
+                    qmc_shift, (dims_normal + counter,), (1,)
+                )
+                return z_k, sobol_uniforms(num_paths, v_u, s_u, dtype)[:, 0]
+        else:
+            qmc_vtab = direction_numbers(num_points * num_steps * qmc_dims_step)
+            qmc_shift = rng.qmc_shift(phase_k, qmc_vtab.shape[0])
+
+            def qmc_block(counter):
+                """Scrambled Sobol draws for this substep: (normals, uniform)."""
+                off = counter * qmc_dims_step
+                v_k = jax.lax.dynamic_slice(
+                    jnp.asarray(qmc_vtab), (off, 0),
+                    (qmc_dims_step, qmc_vtab.shape[1]),
+                )
+                s_k = jax.lax.dynamic_slice(qmc_shift, (off,), (qmc_dims_step,))
+                u_all = sobol_uniforms(num_paths, v_k, s_k, dtype)
+                return (
+                    ndtri(u_all[:, :sim_dim]),
+                    u_all[:, sim_dim] if needs_uniform else None,
+                )
 
     state0 = model.init_state(params, num_paths).astype(dtype)
     if path_sharding is not None:
@@ -166,10 +232,7 @@ def simulate_paths(
         counter = point_idx * num_steps + k
         qmc_uniform = None
         if sampler == "sobol":
-            u_all = qmc_block(counter)
-            z = ndtri(u_all[:, :sim_dim])
-            if needs_uniform:
-                qmc_uniform = u_all[:, sim_dim]
+            z, qmc_uniform = qmc_block(counter)
         elif antithetic:
             half = rng.normals(
                 rng.step_key(phase_k, counter, rng.PURPOSE_NORMAL),

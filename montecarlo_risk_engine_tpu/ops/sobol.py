@@ -64,6 +64,68 @@ def direction_numbers(num_dims: int) -> np.ndarray:
     return v.astype(np.uint32)
 
 
+def brownian_bridge_matrix(dt) -> np.ndarray:
+    """Standardized Brownian-bridge rotation for irregular substep grids.
+
+    Given per-substep variances ``dt`` (length T, entries may be 0 for
+    degenerate intervals — the engine masks those steps), returns a host
+    float64 matrix ``M`` of shape [T, U] (U = number of dt>0 substeps) such
+    that for a vector ``z`` of U iid standard normals in BRIDGE order —
+    z_0 drives the terminal value W(t_T), z_1 the midpoint, then
+    recursively finer midpoints level by level —
+
+        standard driver normal of substep k  =  (M @ z)[k].
+
+    ``M`` is orthogonal on its nonzero rows (``M @ M.T == I`` on dt>0 rows,
+    zero rows elsewhere), so the joint law of the driver normals is exactly
+    iid standard normal: ONLY the assignment of path variance to leading
+    quasi-random dimensions changes.  With Sobol points this is the classic
+    effective-dimension reduction (Moskowitz–Caflisch): the terminal level
+    alone carries variance t_T of the path's total, so the best-distributed
+    low dimensions integrate the coarse structure and the poorly-equidistributed
+    high dimensions only see fine corrections.  (The reference has no QMC at
+    all — reference engine.py:35-123 draws pseudo-random normals only.)
+    """
+    dt = np.asarray(dt, dtype=np.float64)
+    num_sub = int(dt.shape[0])
+    pos = np.flatnonzero(dt > 0.0)
+    num_live = int(pos.shape[0])
+    if num_live == 0:
+        return np.zeros((num_sub, 0), dtype=np.float64)
+    t = np.cumsum(dt[pos])  # W is built at times t[0..U-1]; W(0) = 0 known
+    # w_rows[u] = coefficients of W(t[u]) over the bridge-ordered z vector.
+    w_rows = np.zeros((num_live, num_live), dtype=np.float64)
+    w_rows[num_live - 1, 0] = np.sqrt(t[num_live - 1])
+    # Level-order (BFS) midpoint insertion: z index increases one per
+    # insertion, so z_1 is the global midpoint, z_2/z_3 the quarter points...
+    from collections import deque
+
+    z_next = 1
+    segments = deque([(-1, num_live - 1)])  # (lo, hi) known-index pairs; -1 = time 0
+    while segments:
+        lo, hi = segments.popleft()
+        if hi - lo <= 1:
+            continue
+        mid = (lo + hi + 1) // 2
+        t_lo = t[lo] if lo >= 0 else 0.0
+        w_lo = w_rows[lo] if lo >= 0 else 0.0
+        alpha = (t[hi] - t[mid]) / (t[hi] - t_lo)
+        stddev = np.sqrt((t[mid] - t_lo) * (t[hi] - t[mid]) / (t[hi] - t_lo))
+        w_rows[mid] = alpha * w_lo + (1.0 - alpha) * w_rows[hi]
+        w_rows[mid, z_next] += stddev
+        z_next += 1
+        segments.append((lo, mid))
+        segments.append((mid, hi))
+    # Increment rows, standardized to unit variance (the model step applies
+    # its own transition stddev to the driver normal).
+    out = np.zeros((num_sub, num_live), dtype=np.float64)
+    prev = np.zeros(num_live, dtype=np.float64)
+    for u, k in enumerate(pos):
+        out[k] = (w_rows[u] - prev) / np.sqrt(dt[k])
+        prev = w_rows[u]
+    return out
+
+
 def sobol_uint32(num_paths: int, vtab, shift=None):
     """Raw Sobol integers for points 0..num_paths-1: [num_paths, d] uint32.
 
