@@ -9,24 +9,30 @@ Workload (BASELINE.md driver metric): Andersen-QE Heston path generation,
 
 Baseline: the reference engine (torch 2.4 CPU float64) measured on this
 machine at 1M paths — 5.03e6 path-steps/sec (see BENCH_NOTES.md).
+
+Cold-run budget: round 3 unrolled REPS=32 kernel calls into one program,
+which produced a 94 MB executable whose compile/load alone blew the
+driver's capture window (BENCH_r03.json rc=124).  This version iterates ONE
+kernel instance with ``lax.fori_loop`` over a *traced* seed — the program
+contains a single Pallas launch, compiles in seconds, and still amortizes
+the per-dispatch host round-trip over REPS launches (the sustained-rate
+argument from BENCH_NOTES round 3 is unchanged: production programs issue
+many kernels per dispatch).
 """
 
 import json
 import time
 
 import jax
-
-# Use the fastest supported dtype on the accelerator (f32 on TPU; the
-# reference contract's f64 accuracy tests run on CPU under x64 — see tests/).
+import jax.numpy as jnp
 
 from montecarlo_risk_engine_tpu import rng
 from montecarlo_risk_engine_tpu.config import SimulationScheme, enable_compilation_cache
 from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
 from montecarlo_risk_engine_tpu.models.heston import HestonModel
 
-# Persistent compile cache: repeat runs skip the minutes-long remote AOT
-# step; the throughput measurement itself happens after an in-process warmup
-# so cached compilation never affects the reported number.
+# Persistent compile cache: repeat runs skip the remote AOT step entirely;
+# the throughput measurement happens after an in-process warmup either way.
 try:
     enable_compilation_cache("/tmp/jax_compile_cache")
 except Exception:
@@ -37,28 +43,25 @@ REFERENCE_PATH_STEPS_PER_SEC = 5.03e6  # torch f64 CPU, measured 2026-08-16
 NUM_PATHS = 1_000_000
 NUM_POINTS = 10
 NUM_STEPS = 4
+REPS = 32          # kernel launches per timed dispatch (fori_loop trips)
+WARMUP_BUDGET_S = 210.0  # if compile+warmup ate more than this, time 1 rep only
 
 
 def main():
     import numpy as np
 
+    t_start = time.perf_counter()
     model = HestonModel(0.0, spot=100.0, rate=0.03, sigma=0.5, rho=-0.7,
                         kappa=2.0, theta=0.06, v0=0.04)
     params = model.initial_params()
     timeline = [0.1 * (i + 1) for i in range(NUM_POINTS)]
 
-    # Sustained throughput: REPS independent full path generations inside ONE
-    # jit program (distinct traced seeds, so nothing CSEs), reduced outputs
-    # summed and fetched once.  A single dispatch through the axon relay
-    # carries a fixed ~20ms host round-trip that does not exist on attached
-    # hardware (measured: 1 kernel 25.7ms vs 4-in-one-program 41.6ms — a
-    # 5.3ms marginal kernel); amortizing over REPS reports the chip's
-    # sustained rate, which is what a production run — many kernels per
-    # program — actually sees.
-    REPS = 32
-
     # Preferred path: fused Pallas kernel with hardware PRNG (TPU only);
-    # falls back to the XLA scan engine elsewhere.
+    # falls back to the XLA scan engine elsewhere.  Both variants drive the
+    # generator REPS times inside one jit program via fori_loop over a traced
+    # seed — one compiled kernel instance, REPS launches, a tiny reduced
+    # output fetched once (block_until_ready alone does not reliably
+    # synchronize on remote relays).
     run = None
     if jax.default_backend() == "tpu":
         try:
@@ -67,14 +70,14 @@ def main():
             n_pallas = 1_048_576  # multiple of the kernel block size
 
             @jax.jit
-            def run_pallas(seed):
-                acc = 0.0
-                for i in range(REPS):
+            def run_pallas(seed0):
+                def body(i, acc):
                     states = heston_qe_paths(
-                        params, timeline, n_pallas, NUM_STEPS, seed=seed + i
+                        params, timeline, n_pallas, NUM_STEPS, seed=seed0 + i
                     )
-                    acc = acc + states[-1].mean(axis=0)
-                return acc
+                    return acc + states[-1].mean(axis=0)
+                return jax.lax.fori_loop(
+                    0, REPS, body, jnp.zeros((2,), jnp.float32))
 
             np.asarray(run_pallas(0))
             run, n_eff = run_pallas, n_pallas
@@ -82,26 +85,27 @@ def main():
             run = None
     if run is None:
         @jax.jit
-        def run_jnp(seed):
-            acc = 0.0
-            for i in range(REPS):
+        def run_jnp(seed0):
+            def body(i, acc):
                 states = simulate_paths(
                     model, params, SimulationScheme.QE, timeline, NUM_PATHS,
-                    NUM_STEPS, rng.PHASE_MAINSIM, root_seed=seed + i,
+                    NUM_STEPS, rng.PHASE_MAINSIM, root_seed=seed0 + i,
                 )
-                # Tiny reduced output: forces the full computation while
-                # keeping the host transfer negligible (block_until_ready
-                # alone does not reliably synchronize on remote relays).
-                acc = acc + states[-1].mean(axis=0)
-            return acc
+                return acc + states[-1].mean(axis=0).astype(jnp.float32)
+            return jax.lax.fori_loop(
+                0, REPS, body, jnp.zeros((2,), jnp.float32))
 
         np.asarray(run_jnp(0))
         run, n_eff = run_jnp, NUM_PATHS
 
+    # Wall-clock guard: a cold compile through the axon relay may be slow;
+    # never let measurement overhead push the whole run past the driver's
+    # capture budget.
+    timed_reps = 3 if (time.perf_counter() - t_start) < WARMUP_BUDGET_S else 1
     best = float("inf")
-    for _ in range(3):
+    for _ in range(timed_reps):
         t0 = time.perf_counter()
-        np.asarray(run(0))
+        np.asarray(run(1))
         best = min(best, time.perf_counter() - t0)
 
     path_steps = n_eff * NUM_POINTS * NUM_STEPS * REPS
