@@ -1767,6 +1767,17 @@ class SimulationController:
                 if self.requires_higher_order_derivatives:
                     amp *= max(1, len(self.model.initial_params()))
             plane_threshold, ad_budget = self._auto_memory_budgets()
+            bridge_bytes = self._qmc_bridge_resident_bytes(num_paths)
+            if bridge_bytes:
+                # The bridge rotation keeps a [T_sub, N, sim_dim] plane plus
+                # the [N, levels, sim_dim] zeta buffer resident through the
+                # scan in EITHER mode (engine.py qmc_bridge), so they shrink
+                # the budget streaming can actually spend — without this the
+                # auto decision promised O(rows x N) memory on books whose
+                # bridge plane alone approaches HBM (round-3 advisor).
+                plane_threshold = max(plane_threshold - bridge_bytes,
+                                      plane_threshold // 8)
+                ad_budget = max(ad_budget - bridge_bytes, ad_budget // 8)
             if emitted_rows > 2 * plane_rows:
                 mode = False
             else:
@@ -1806,7 +1817,28 @@ class SimulationController:
                 self._grad_chunk_effective = max(
                     self._grad_chunk_effective, chunk
                 )
+        if self._emission_schedule is not None and self.qmc_bridge:
+            n = max(self.num_paths_mainsim, self.num_paths_presim)
+            logger.warning(
+                "qmc_bridge keeps a [T_sub, N, sim_dim] rotated plane plus "
+                "the Sobol zeta buffer (%.2f GB) resident through the scan, "
+                "so streaming memory does not scale as O(request rows x "
+                "paths) on this book; the auto decision accounts for it, "
+                "but at very large path counts prefer qmc_bridge=False.",
+                self._qmc_bridge_resident_bytes(n) / 2**30,
+            )
         self.model.set_state_layout(self._emission_schedule is None)
+
+    def _qmc_bridge_resident_bytes(self, num_paths: int) -> int:
+        """Scan-resident bytes the Brownian-bridge rotation adds in either
+        engine mode: the rotated [T_sub, N, sim_dim] plane plus the
+        [N, levels~=T_sub, sim_dim] bridge-ordered Sobol normals
+        (engine.py qmc_bridge).  0 when the bridge is off."""
+        if not self.qmc_bridge:
+            return 0
+        t_sub = len(self.simulation_timeline) * max(1, self.num_steps)
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        return 2 * t_sub * self.model.simulation_dim * num_paths * itemsize
 
     # Fallback budgets when the device exposes no memory size (see
     # _auto_memory_budgets): auto mode switches to the streaming engine once

@@ -178,9 +178,21 @@ def simulate_paths(
             )).reshape(num_paths, num_levels, sim_dim)
             if path_sharding is not None:
                 zeta = jax.lax.with_sharding_constraint(zeta, path_sharding)
-            bridge_plane = jnp.einsum(
-                "tl,nlf->tnf", jnp.asarray(bridge_m, dtype), zeta
-            )
+            # Fixed-order accumulation over levels instead of an einsum
+            # contraction: the level reduction is unrolled in the graph, so
+            # every path's plane value is the same fma sequence regardless of
+            # how XLA tiles the (sharded) path axis — keeping the engine's
+            # sharded==unsharded bitwise contract — and full-precision even
+            # on the f32 MXU (an einsum here accumulated in reduced MXU
+            # precision on TPU and in shard-size-dependent order, which broke
+            # bitwise determinism by 1 ulp; round-3 advisor findings).
+            bm = jnp.asarray(bridge_m, dtype)
+            bridge_plane = bm[:, 0][:, None, None] * zeta[None, :, 0, :]
+            for lvl in range(1, num_levels):
+                bridge_plane = (
+                    bridge_plane
+                    + bm[:, lvl][:, None, None] * zeta[None, :, lvl, :]
+                )
 
             def qmc_block(counter):
                 """Bridge normals for this substep + its scrambled uniform."""

@@ -260,6 +260,39 @@ def test_streaming_auto_amplifies_for_hessian(monkeypatch):
     assert c_hess._emission_schedule is not None  # amp = 13 x 3 params
 
 
+def test_streaming_auto_accounts_for_qmc_bridge_plane(monkeypatch):
+    """ADVICE round 3 (medium): qmc_bridge keeps a [T_sub, N, sim_dim]
+    rotated plane + the zeta buffer resident through the scan in either
+    mode, so the auto decision must subtract those bytes from its budgets —
+    a book whose bare plane sits just under the threshold must stream once
+    the bridge plane eats the headroom."""
+    def build(bridge):
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        return _controller("auto", [option], model, [PVMetric()],
+                           num_paths=256, num_paths_presim=0, num_steps=4,
+                           sampler="sobol", qmc_bridge=bridge)
+
+    c = build(False)
+    c2 = build(True)
+    plane_bytes = 1 * 1 * 256 * 8  # 1 point x 1 state dim x 256 paths x f64
+    assert c._qmc_bridge_resident_bytes(256) == 0
+    bridge_bytes = c2._qmc_bridge_resident_bytes(256)
+    assert bridge_bytes == 2 * 4 * 1 * 256 * 8  # 2 bufs x T_sub x sim_dim
+    # threshold between plane and plane + bridge: without the bridge the
+    # book stays on the plane, with it the bridge headroom forces streaming
+    monkeypatch.setattr(SimulationController, "STREAMING_AUTO_THRESHOLD_BYTES",
+                        plane_bytes + bridge_bytes // 2)
+    monkeypatch.setattr(
+        SimulationController, "_device_hbm_bytes", lambda self: None)
+    c.run_simulation()
+    assert c._emission_schedule is None
+    c2.run_simulation()
+    assert c2._emission_schedule is not None
+
+
 def test_explicit_streaming_plus_use_pallas_raises():
     """ADVICE round 2 (low): an explicit streaming=True used to be silently
     discarded when the Pallas kernels activated.  Both explicitly True is now
