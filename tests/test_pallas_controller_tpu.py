@@ -65,6 +65,7 @@ def test_use_pallas_true_raises_when_ineligible():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+@pytest.mark.tpu_smoke
 def test_pallas_controller_bs_matches_engine_and_closed_form():
     from scipy.stats import norm
 
@@ -169,6 +170,7 @@ def test_pallas_controller_vasicek_bond_matches_engine():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware (RUN_TPU_PALLAS_TESTS=1)")
+@pytest.mark.tpu_smoke
 def test_pallas_differentiated_bs_grads_match_closed_form_and_crn_fd():
     """VERDICT r2 #1: differentiated books now ride the kernels through the
     custom-JVP noise-recovery wrapper.  Oracles: (a) AAD delta/vega vs the

@@ -49,6 +49,7 @@ def kernel_states():
     return np.asarray(out)  # [T, N, 2] = (log-spot, variance)
 
 
+@pytest.mark.tpu_smoke
 def test_discounted_spot_is_martingale(kernel_states):
     spot, _, rate = PARAMS[0], PARAMS[1], PARAMS[2]
     s_t = np.exp(kernel_states[-1, :, 0])
@@ -57,6 +58,7 @@ def test_discounted_spot_is_martingale(kernel_states):
     assert abs(mean - spot) < 5 * se + 0.05 * spot * 1e-2
 
 
+@pytest.mark.tpu_smoke
 def test_variance_mean_reverts(kernel_states):
     _, _, _, _, kappa, theta, v0 = PARAMS
     v_t = kernel_states[-1, :, 1]
@@ -64,6 +66,7 @@ def test_variance_mean_reverts(kernel_states):
     assert abs(v_t.mean() - expected) < 0.1 * theta
 
 
+@pytest.mark.tpu_smoke
 def test_european_call_matches_jnp_engine(kernel_states):
     """Kernel MC call price vs the threefry jnp-engine MC price (same model)."""
     import jax.numpy as jnp
