@@ -189,14 +189,39 @@ PFE_BISECT_THRESHOLD = 131_072
 
 
 class PFEMetric(Metric):
+    """PFE quantile per exposure date (pfe_metric.py:10-73).
+
+    ``pfe_se`` selects the quantile standard-error estimator:
+
+      * ``"density-fd"`` (default) — the reference's density finite
+        difference ``sqrt(q(1-q)/(N f^2))`` with ``f`` from the two
+        neighbouring order statistics (pfe_metric.py:13-44).  Kept for
+        parity, but NOT a consistent estimator: the one-sample-spacing FD
+        underestimates the density bandwidth, so the reported SE *grows*
+        with N at fixed density (observed empirically in
+        tests/test_mesh_scale.py).
+      * ``"order-statistic"`` — the distribution-free binomial bracket:
+        SE = (x_(k_hi) - x_(k_lo))/2 with k_lo/hi = ceil(Nq -+
+        sqrt(Nq(1-q)))-1, the +-1-sigma order-statistic confidence
+        interval.  Consistent (shrinks ~1/sqrt(N)) and costs nothing extra
+        — the bracket indices ride the same batched bisection/sort that
+        already produces the FD neighbours.
+    """
+
     def __init__(self, quantile: float = 0.95,
                  evaluation_type: EvaluationType = EvaluationType.NUMERICAL,
-                 bisect_threshold: Optional[int] = None):
+                 bisect_threshold: Optional[int] = None,
+                 pfe_se: str = "density-fd"):
         super().__init__(MetricType.PFE, evaluation_type)
         self.quantile = float(quantile)
         self.bisect_threshold = (
             PFE_BISECT_THRESHOLD if bisect_threshold is None else int(bisect_threshold)
         )
+        if pfe_se not in ("density-fd", "order-statistic"):
+            raise ValueError(
+                f"pfe_se must be 'density-fd' or 'order-statistic', got {pfe_se!r}"
+            )
+        self.pfe_se = pfe_se
 
     def get_name(self) -> str:
         return f"pfe[{self.quantile:g}]"
@@ -214,28 +239,43 @@ class PFEMetric(Metric):
         se = jnp.sqrt(self.quantile * (1.0 - self.quantile) / (n * f_q * f_q))
         return jnp.where(flat, 0.0, se)
 
+    def _bracket_indices(self, n: int, q_index: int):
+        """(k_lo, k_hi) of the +-1-sigma binomial order-statistic bracket."""
+        m = self.quantile * n
+        half = math.sqrt(n * self.quantile * (1.0 - self.quantile))
+        k_lo = min(max(int(math.ceil(m - half)) - 1, 0), n - 1)
+        k_hi = min(max(int(math.ceil(m + half)) - 1, 0), n - 1)
+        return k_lo, k_hi
+
     def evaluate_numerically(self, exposures=None, **kwargs):
         if len(exposures) == 0:
             return []
         n = exposures[0].shape[0]
         q_index = int(math.ceil(self.quantile * n)) - 1
+        if self.pfe_se == "order-statistic":
+            k_lo, k_hi = self._bracket_indices(n, q_index)
+            se_ks = (k_lo, k_hi)
+        else:
+            se_ks = (max(q_index - 1, 0), min(q_index + 1, n - 1))
+
+        def se(lo, pfe, hi):
+            if self.pfe_se == "order-statistic":
+                return (hi - lo) / 2.0
+            return self._quantile_se(lo, pfe, hi, n, q_index)
+
+        ks = sorted({se_ks[0], q_index, se_ks[1]})
+        pos = {k: i for i, k in enumerate(ks)}
         if n > self.bisect_threshold:
             from montecarlo_risk_engine_tpu.ops.quantile import order_statistics_bisect
 
-            ks = sorted({max(q_index - 1, 0), q_index, min(q_index + 1, n - 1)})
-            pos = {k: i for i, k in enumerate(ks)}
-            # one batched bisection across every exposure date and all three
+            # one batched bisection across every exposure date and all the
             # neighbouring order statistics: iters passes over [T_exp, N]
             stats = order_statistics_bisect(jnp.stack(exposures), ks)  # [K, T_exp]
             return [
                 (
                     stats[pos[q_index], i],
-                    self._quantile_se(
-                        stats[pos[max(q_index - 1, 0)], i],
-                        stats[pos[q_index], i],
-                        stats[pos[min(q_index + 1, n - 1)], i],
-                        n, q_index,
-                    ),
+                    se(stats[pos[se_ks[0]], i], stats[pos[q_index], i],
+                       stats[pos[se_ks[1]], i]),
                 )
                 for i in range(len(exposures))
             ]
@@ -245,12 +285,8 @@ class PFEMetric(Metric):
             results.append(
                 (
                     sorted_vals[q_index],
-                    self._quantile_se(
-                        sorted_vals[max(q_index - 1, 0)],
-                        sorted_vals[q_index],
-                        sorted_vals[min(q_index + 1, n - 1)],
-                        n, q_index,
-                    ),
+                    se(sorted_vals[se_ks[0]], sorted_vals[q_index],
+                       sorted_vals[se_ks[1]]),
                 )
             )
         return results

@@ -102,3 +102,48 @@ def test_bisect_on_sharded_paths_axis():
     expected = np.sort(values)[math.ceil(0.95 * 1024) - 1]
     assert float(got) == float(expected)
     assert n_dev >= 2  # conftest provisions the 8-device CPU mesh
+
+
+def test_pfe_order_statistic_se_is_consistent():
+    """VERDICT r3 #7: the opt-in pfe_se="order-statistic" bracket SE must be
+    a consistent estimator — ~1/sqrt(n) shrinkage and agreement with the
+    asymptotic quantile SE sqrt(q(1-q)/n)/f(x_q) — while the default
+    density-FD estimator stays bitwise at reference parity."""
+    from scipy.stats import norm
+
+    q = 0.95
+    x_q = norm.ppf(q)
+    f_q = norm.pdf(x_q)
+    rng = np.random.default_rng(11)
+
+    def se_at(n, pfe_se, **kw):
+        # average over independent replications to beat estimator noise
+        vals = []
+        for _ in range(8):
+            e = [jnp.asarray(rng.standard_normal(n))]
+            m = PFEMetric(q, pfe_se=pfe_se, **kw)
+            vals.append(float(m.evaluate_numerically(exposures=e)[0][1]))
+        return np.mean(vals)
+
+    n1, n2 = 4096, 65536
+    se1 = se_at(n1, "order-statistic")
+    se2 = se_at(n2, "order-statistic")
+    # 1/sqrt(n) scaling: ratio should be ~1/4 (generous band for MC noise)
+    assert 0.15 < se2 / se1 < 0.40, (se1, se2)
+    # agreement with the asymptotic truth within 25%
+    for n, se in ((n1, se1), (n2, se2)):
+        truth = np.sqrt(q * (1 - q) / n) / f_q
+        assert abs(se - truth) < 0.25 * truth, (n, se, truth)
+
+    # bisect path produces the identical bracket SE
+    e = [jnp.asarray(rng.standard_normal(3001))]
+    m_sort = PFEMetric(q, pfe_se="order-statistic")
+    m_bis = PFEMetric(q, pfe_se="order-statistic", bisect_threshold=0)
+    (v_s, e_s), = m_sort.evaluate_numerically(exposures=e)
+    (v_b, e_b), = m_bis.evaluate_numerically(exposures=e)
+    assert float(v_s) == float(v_b) and float(e_s) == float(e_b)
+
+    # reference-parity default untouched (pfe_metric.py:13-44 convention)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pfe_se"):
+        PFEMetric(q, pfe_se="bogus")
