@@ -98,8 +98,10 @@ class Model:
         ``C_ij = v_i v_j rho_ij (1 - e^{-(a_i+a_j) dt}) / (a_i + a_j)`` —
         generalising the reference's BS x BS-only closed form
         (model_config.py:193-221).  Return None when the model's exact
-        transition is not of this Gaussian form (Heston QE, CIR++'s
-        lognormal-proxy "analytic" step)."""
+        transition is not of this Gaussian form (Heston QE); models whose
+        analytic step is a moment-matched proxy may return moment-matched
+        loadings instead (CIR++ returns its representative-level OU
+        loading (kappa, sigma*sqrt(theta)))."""
         return None
 
     # -- stepping -----------------------------------------------------------

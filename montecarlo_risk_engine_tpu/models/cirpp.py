@@ -244,6 +244,25 @@ class CIRPPModel(Model):
         log_b = state[:, 1] + lam * dt
         return jnp.stack([jnp.maximum(y_next, 1e-12), log_b], axis=-1)
 
+    def analytic_factor_loadings(self, params):
+        """Moment-matched Gaussian factor loading (VERDICT r3 #9).
+
+        At the representative level y = theta the CIR diffusion is an OU
+        factor with mean reversion kappa and vol sigma*sqrt(theta): its
+        increment variance sigma^2 theta (1 - e^{-2 kappa dt}) / (2 kappa)
+        is ALGEBRAICALLY identical to this model's covariance_matrix
+        normalisation (expand x = e^{-kappa dt}: x(1-x)/k + (1-x)^2/(2k) =
+        (1-x^2)/(2k)).  So under the ANALYTICAL scheme the joint covariance
+        assembled by ModelConfig._inter_covariance correlates the
+        lognormal-proxy driver z with other Gaussian factors at exactly the
+        user-specified rho — the step's std-normalisation recovers z ~
+        N(0,1) with the intended cross-correlation.  This closes the
+        reference contract gap (model_config.py:193-221 raises for any
+        non-BS pair) for the hybrid wrong-way-risk books.
+        """
+        kappa, theta, sigma, _ = self._unpack(params)
+        return [(kappa, sigma * jnp.sqrt(theta))]
+
     def covariance_matrix(self, params, delta_t):
         # Conditional CIR variance at y = theta as a representative scale —
         # only used to normalise the ANALYTICAL noise stream above.

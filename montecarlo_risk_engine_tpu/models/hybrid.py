@@ -16,9 +16,11 @@ Functional layout:
   * The joint driver correlation is assembled block-wise: intra blocks from
     sub-models, inter blocks from user matrices (model_config.py:101-142).
     For the ANALYTICAL scheme the joint covariance needs inter-model
-    covariances; these exist in closed form for lognormal (BS-style) pairs —
-    sigma_i sigma_j rho_ij dt (model_config.py:193-221) — and raise otherwise,
-    matching the reference's contract.
+    covariances; every model exposing Gaussian factor loadings composes in
+    closed form (BS, BSMulti, Vasicek, Hull-White, Schwartz-2F — the BS x BS
+    case recovers the reference's sigma_i sigma_j rho_ij dt,
+    model_config.py:193-221), CIR++ composes via its moment-matched OU
+    loading, and only genuinely non-Gaussian transitions (Heston QE) raise.
 """
 
 from __future__ import annotations

@@ -211,18 +211,77 @@ def test_hybrid_analytical_inter_covariance_ou_pairs():
     assert abs(c_exact - c_euler) < 0.02, (c_exact, c_euler)
     assert c_exact > 0.3
 
-    # pairs without Gaussian loadings still raise (CIR++ analytic proxy)
-    from montecarlo_risk_engine_tpu import CIRPPModel
+    # pairs without Gaussian loadings still raise (Heston QE branch mixing)
+    from montecarlo_risk_engine_tpu import HestonModel
     import pytest as _pytest
 
     bad = ModelConfig(
         [
             BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.25,
                               asset_id="eq"),
-            CIRPPModel(0.0, asset_id="cp", hazard_rates={1.0: 0.02, 5.0: 0.03},
-                       kappa=0.4, theta=0.02, volatility=0.05, y0=0.01),
+            HestonModel(0.0, spot=100.0, rate=0.03, sigma=0.5, rho=-0.7,
+                        kappa=2.0, theta=0.04, v0=0.04, asset_id="hes"),
         ],
-        inter_asset_correlation_matrix=[np.array([[0.2]])],
+        inter_asset_correlation_matrix=[np.array([[0.2, 0.0]])],
     )
     with _pytest.raises(NotImplementedError, match="factor loadings"):
         bad.covariance_matrix(bad.initial_params(), 0.5)
+
+
+def test_hybrid_analytical_cirpp_moment_matched_covariance():
+    """VERDICT r3 #9: the Vasicek x CIR++ wrong-way-risk composition runs
+    the ANALYTICAL scheme end-to-end via CIR++'s moment-matched OU loading
+    (kappa, sigma*sqrt(theta)).  Oracle: Euler-converged joint law of the
+    same hybrid — terminal cross-correlation between the short rate and the
+    default intensity within MC + proxy tolerance, mirroring the OU-pair
+    test above."""
+    import numpy as np
+
+    from montecarlo_risk_engine_tpu import (
+        CIRPPModel,
+        ModelConfig,
+        SimulationScheme,
+        VasicekModel,
+    )
+    from montecarlo_risk_engine_tpu import rng as _rng
+    from montecarlo_risk_engine_tpu.engine.engine import simulate_paths
+
+    rho = 0.6
+
+    def make():
+        return ModelConfig(
+            [
+                VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.8, volatility=0.015,
+                             asset_id="irs"),
+                CIRPPModel(0.0, asset_id="cp",
+                           hazard_rates={1.0: 0.02, 5.0: 0.03},
+                           kappa=0.4, theta=0.02, volatility=0.05, y0=0.015),
+            ],
+            inter_asset_correlation_matrix=[np.array([[rho]])],
+        )
+
+    def run(scheme, num_steps):
+        model = make()
+        params = model.initial_params()
+        states = np.asarray(simulate_paths(
+            model, params, scheme, (1.0, 2.0), 65_536, num_steps,
+            _rng.PHASE_MAINSIM, root_seed=13,
+        ))
+        r = states[-1, :, 0]   # Vasicek short rate
+        y = states[-1, :, 2]   # CIR++ intensity factor
+        return r, y
+
+    r_a, y_a = run(SimulationScheme.ANALYTICAL, 4)
+    r_e, y_e = run(SimulationScheme.EULER, 64)
+
+    c_a = np.corrcoef(r_a, y_a)[0, 1]
+    c_e = np.corrcoef(r_e, y_e)[0, 1]
+    # lognormal proxy vs true CIR: slightly wider band than the exact
+    # Gaussian pairs, still pinned to the Euler-converged joint law
+    assert abs(c_a - c_e) < 0.04, (c_a, c_e)
+    assert c_a > 0.3  # wrong-way correlation actually flows through
+
+    # marginals agree too (mean/std of the intensity factor)
+    assert abs(y_a.mean() - y_e.mean()) < 3e-4, (y_a.mean(), y_e.mean())
+    assert abs(y_a.std() - y_e.std()) < 0.1 * y_e.std(), (y_a.std(), y_e.std())
