@@ -79,6 +79,52 @@ def substep_box_muller(shape, log_s, v, dt, p):
     return log_s + 1e-3 * (z1 + z2), v + 1e-3 * u
 
 
+def _normal_icdf(u):
+    """N(0,1) quantile via Giles' single-precision erfinv polynomial:
+    z = sqrt(2) * erfinv(2u - 1).  Per normal: 1 log + 1 sqrt (the tail
+    branch — the VPU evaluates both branches and selects) + ~18 fma,
+    versus Box-Muller's amortized (log + sqrt + sin + cos) / 2 per normal
+    but only ONE uniform per normal instead of one per pair."""
+    x = 2.0 * u - 1.0
+    w = -jnp.log((1.0 - x) * (1.0 + x))
+    # central branch |x| <~ 0.993
+    wc = w - 2.5
+    pc = jnp.float32(2.81022636e-08)
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06, 2.1858087e-04,
+              -1.25372503e-03, -4.17768164e-03, 2.46640727e-01, 1.50140941e+00):
+        pc = pc * wc + jnp.float32(c)
+    # tail branch
+    wt = jnp.sqrt(w) - 3.0
+    pt = jnp.float32(-2.00214257e-04)
+    for c in (1.00950558e-04, 1.34934322e-03, -3.67342844e-03, 5.73950773e-03,
+              -7.62246130e-03, 9.43887047e-03, 1.00167406e+00, 2.83297682e+00):
+        pt = pt * wt + jnp.float32(c)
+    p = jnp.where(w < 5.0, pc, pt)
+    return jnp.float32(math_sqrt2) * p * x
+
+
+math_sqrt2 = 1.4142135623730951
+
+
+def substep_icdf(shape, log_s, v, dt, p):
+    """Draw pipeline with inverse-CDF normals (1 uniform per normal) instead
+    of Box-Muller pairs — the VERDICT r3 #6 experiment."""
+    z1 = _normal_icdf(_uniforms(shape))
+    z2 = _normal_icdf(_uniforms(shape))
+    u = _uniforms(shape)
+    return log_s + 1e-3 * (z1 + z2), v + 1e-3 * u
+
+
+def substep_qe_icdf(shape, log_s, v, dt, p):
+    """Production QE substep fed by inverse-CDF normals."""
+    z_s = _normal_icdf(_uniforms(shape))
+    z_v = _normal_icdf(_uniforms(shape))
+    u = _uniforms(shape)
+    sigma, rate, rho, kappa, theta = p[1], p[2], p[3], p[4], p[5]
+    return _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho,
+                              kappa, theta)
+
+
 def substep_qe(shape, log_s, v, dt, p):
     """The production substep (scalar-grouped QE, pallas_paths.py)."""
     z_s, z_v = _normal_pair(shape)
@@ -147,7 +193,9 @@ def main():
         ("no-draws", substep_none),
         ("raw-bits-x3", substep_bits),
         ("box-muller", substep_box_muller),
+        ("icdf", substep_icdf),
         ("qe-full", substep_qe),
+        ("qe-icdf", substep_qe_icdf),
     ]
     for name, sub in variants:
         t1 = timeit(build(sub, 1), params_vec)
