@@ -153,6 +153,7 @@ def run_tpu():
         "total_seconds_cold": r["total_seconds_cold"],
         "total_seconds_warm": r["total_seconds_warm"],
         "cva": r["cva"],
+        "cva_se": r.get("cva_se"),
         "dcva_dspot0": r.get("dcva_dspot0"),
         "num_params": 14,
         "subprocess_seconds": time.perf_counter() - t0,

@@ -33,7 +33,14 @@ from montecarlo_risk_engine_tpu import (
 )
 
 CP = "counterparty"
-HAZARDS = {1.0: 0.02, 2.0: 0.022, 3.0: 0.025, 5.0: 0.028, 10.0: 0.02}
+# the reference CVA harness's bootstrapped hazard curve
+# (cva_perfprmance_large_netting_set.py:31-43) so the CVA level is directly
+# comparable in benchmarks/cva_aad_vs_reference.py
+HAZARDS = {0.5: 0.006402303360855854, 1.0: 0.01553038972325307,
+           2.0: 0.009729741230773657, 3.0: 0.015552544648116201,
+           4.0: 0.021196186202801115, 5.0: 0.02284319986706472,
+           7.0: 0.010111423894480876, 10.0: 0.00613267811172937,
+           15.0: 0.0036969930706003337, 20.0: 0.003791311459217732}
 
 
 def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000,
@@ -87,6 +94,7 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000,
     warm = time.perf_counter() - t1
 
     cva = float(results.get_results("cva_book", f"cva[{CP}]", evaluation_idx=0))
+    cva_se = float(results.get_mc_error("cva_book", f"cva[{CP}]", evaluation_idx=0))
     out = {
         "metric": "cva_large_book_products_per_second",
         "value": len(products) / warm,
@@ -97,6 +105,7 @@ def main(scale: float = 1.0, aad: bool = False, num_paths: int = 1000,
         "aad": aad,
         "grad_mode": grad_mode,
         "cva": cva,
+        "cva_se": cva_se,
     }
     if aad:
         d = results.get_derivatives("cva_book", f"cva[{CP}]", evaluation_idx=0)

@@ -142,6 +142,16 @@ def main():
                                            param1="eq.spot", param2="eq.spot",
                                            evaluation_idx=0)
         out["d2cva_dspot2"] = float(h)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            out["hbm_peak_bytes"] = int(
+                stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+            out["hbm_limit_bytes"] = int(stats.get("bytes_limit", 0))
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
