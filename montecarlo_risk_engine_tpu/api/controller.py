@@ -1817,6 +1817,30 @@ class SimulationController:
                 self._grad_chunk_effective = max(
                     self._grad_chunk_effective, chunk
                 )
+        if self.differentiate and not self._pallas_active:
+            # Engine-path jacobian chunk gate (round 4): the XLA-engine
+            # fallback used to run the user's grad_chunk_size ungated — at
+            # 2M paths x 29 dates the default chunk 8 compiled to a 64.2GB
+            # peak on a 15.75GB v5e (AOT OOM), while chunk 1 fits and runs.
+            # Cap the effective chunk with a peak model calibrated on those
+            # two hardware points: peak ~= 2 * plane * (2 + 1.4*(1 + 2c))
+            # (plane = coarse [T, D, N] bytes; the per-tangent 1.4x covers
+            # the jvp temps of the exposure pipeline, the +2 the primal
+            # residents).  Errs narrow — a narrower chunk costs sequential
+            # sweeps, never an OOM.
+            n = max(self.num_paths_mainsim, self.num_paths_presim)
+            plane_bytes = (
+                len(self.simulation_timeline) * self.model.state_dim
+                * jnp.dtype(real_dtype()).itemsize * n
+            )
+            hbm = self._device_hbm_bytes()
+            if hbm and jax.default_backend() == "tpu":
+                c = max(1, int(self.grad_chunk_size))
+                while c > 1 and 2 * plane_bytes * (2 + 1.4 * (1 + 2 * c)) > hbm:
+                    c //= 2
+                self._grad_chunk_effective = min(
+                    self._grad_chunk_effective, c
+                )
         if self._emission_schedule is not None and self.qmc_bridge:
             n = max(self.num_paths_mainsim, self.num_paths_presim)
             logger.warning(
