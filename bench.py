@@ -43,7 +43,12 @@ REFERENCE_PATH_STEPS_PER_SEC = 5.03e6  # torch f64 CPU, measured 2026-08-16
 NUM_PATHS = 1_000_000
 NUM_POINTS = 10
 NUM_STEPS = 4
-REPS = 32          # kernel launches per timed dispatch (fori_loop trips)
+# Kernel launches per timed dispatch (fori_loop trips).  The fori_loop makes
+# REPS free at compile time (one kernel instance regardless), and the fixed
+# per-program cost (~20ms relay dispatch + loop warmup, ~35ms total) no
+# longer caps the reported rate: 32 reps measured 10.5G path-steps/s, 256
+# reps 12.6G against a ~3.1ms marginal kernel+reduction cost per rep.
+REPS = 256
 WARMUP_BUDGET_S = 210.0  # if compile+warmup ate more than this, time 1 rep only
 
 
