@@ -229,6 +229,52 @@ def test_streaming_auto_picks_by_memory_estimate(monkeypatch):
     assert c2._emission_schedule is not None
 
 
+def test_engine_path_jacobian_chunk_gate(monkeypatch):
+    """Round-4 hardware finding: the XLA-engine differentiated fallback ran
+    the user's grad_chunk_size ungated — 2M paths x 29 dates at the default
+    chunk 8 compiled to a 64.2GB peak on a 15.75GB v5e (AOT OOM) while
+    chunk 1 fits and runs.  The gate must cap the effective chunk using the
+    calibrated peak model when the device memory is known."""
+    import jax as _jax
+
+    from montecarlo_risk_engine_tpu import rng  # noqa: F401  (import order)
+
+    def build(num_paths):
+        model = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.2,
+                                  asset_id="eq")
+        option = EuropeanOption(Equity("eq"), 2.0, 100.0, OptionType.CALL,
+                                asset_id="eq")
+        return _controller("auto", [option], model, [PVMetric(), EPEMetric()],
+                           exposure_timeline=[0.5, 1.0, 1.5, 2.0],
+                           num_paths=num_paths, num_paths_presim=0,
+                           differentiate=True, grad_chunk_size=8)
+
+    monkeypatch.setattr(SimulationController, "_device_hbm_bytes",
+                        lambda self: 16 << 30)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    # pin the engine fallback (the path under test); kernel eligibility has
+    # its own gates covered by the TPU suites
+    monkeypatch.setattr(SimulationController, "_decide_pallas",
+                        lambda self: False)
+
+    from montecarlo_risk_engine_tpu.requests import RequestPlan
+
+    def decide(c):
+        c._plan = RequestPlan(c.model)
+        c._plan.collect_and_index_requests(
+            c.products, c.simulation_timeline, c._get_requests(),
+            c.metric_exposure_timeline)
+        c._decide_streaming()
+        return c._grad_chunk_effective
+
+    # plane model: peak = 2 * plane * (2 + 1.4*(1+2c)); plane bytes here are
+    # T(5 timeline points) x 1 state dim x N x 8 (f64 test env)
+    big = build(60_000_000)   # plane 2.4GB -> only chunk 1 fits 16GB
+    assert decide(big) == 1
+    small = build(1_000_000)  # plane 40MB -> the user's chunk 8 stands
+    assert decide(small) == 8
+
+
 def test_streaming_auto_amplifies_for_hessian(monkeypatch):
     """Differentiated/Hessian runs multiply the plane estimate (jacfwd
     tangent temps, Hessian outer vmap over params) — the same book that
