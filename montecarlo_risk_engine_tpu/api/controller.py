@@ -1841,6 +1841,25 @@ class SimulationController:
                 self._grad_chunk_effective = min(
                     self._grad_chunk_effective, c
                 )
+        if self.differentiate and self.requires_higher_order_derivatives:
+            # Hessian books (round 4, measured on the v5e): the outer
+            # jacfwd multiplies every per-tangent buffer by ~n_params — a
+            # 131k-path north star peaked at 16.15G (plane x ~212) and
+            # missed a 15.75G chip by 408MB, while chunk 1 + path remat
+            # fits and runs (33.8s warm); 262k needed 24.9G.  When the
+            # measured peak model says the chip is tight, narrow the chunk
+            # and rematerialize the path scan — numerically identical,
+            # ~2x path-gen FLOPs, which the Hessian sweeps dwarf anyway.
+            hbm = self._device_hbm_bytes()
+            if hbm and jax.default_backend() == "tpu":
+                n = max(self.num_paths_mainsim, self.num_paths_presim)
+                plane_bytes = (
+                    len(self.simulation_timeline) * self.model.state_dim
+                    * jnp.dtype(real_dtype()).itemsize * n
+                )
+                if 212 * plane_bytes > 0.95 * hbm:
+                    self._grad_chunk_effective = 1
+                    self.remat_paths = True
         if self._emission_schedule is not None and self.qmc_bridge:
             n = max(self.num_paths_mainsim, self.num_paths_presim)
             logger.warning(
