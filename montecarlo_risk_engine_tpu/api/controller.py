@@ -2074,15 +2074,17 @@ class SimulationController:
             )
             if eligible and not self.differentiate:
                 # The forward kernel materialises the per-device [T, N, D]
-                # plane in HBM; past the device budget the streaming XLA
-                # engine is the only path that fits (e.g. 16M paths x 59
-                # dates x 5 state cols = 19.8GB on a 16GB chip).
+                # plane in HBM — and the downstream bulk resolution +
+                # exposure pipeline holds several plane-sized temps on top:
+                # an 8M-path x 29-date exposure book measured a 40.7GB peak
+                # at plane = 4.6GB (~9x, round-4 hardware probe).  Past the
+                # budget the streaming XLA engine is the path that fits.
                 plane_bytes = (
                     len(self.simulation_timeline) * self.model.state_dim * 4
                     * (max(self.num_paths_mainsim, self.num_paths_presim)
                        // n_dev)
                 )
-                eligible = plane_bytes <= self._auto_memory_budgets()[1]
+                eligible = 9 * plane_bytes <= self._auto_memory_budgets()[1]
         if eligible and self.differentiate:
             # AD-wrapper peak memory (coarse-boundary layout,
             # ops/pallas_paths_ad.py): each tangent chunk adds COARSE-sized
