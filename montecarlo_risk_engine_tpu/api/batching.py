@@ -220,14 +220,20 @@ class TerminalBatch:
         return [p.asset_ids[0] for p in self.products]
 
     def _exposure_grid_obs(self, tables: ObservableTables, ctx: ExposureContext, asset):
-        """(basis [T_exp, N, deg], numeraire [T_exp, N]) on the exposure grid."""
+        """(explanatory [T_exp, N], numeraire [T_exp, N]) on the exposure grid.
+
+        The Vandermonde basis is deliberately NOT materialised: a
+        [T_exp, N, deg] stack (plus its jvp tangent and XLA copies) was the
+        dominant HBM resident of every at-scale run — 4 x 1.5GB buffers in
+        the 2M-path kernel-AD OOM dump (round 4).  fit_exposure and
+        exposure_contributions consume the raw explanatory via running
+        powers / Horner instead, keeping peak state [T, N]-sized.
+        """
         t_grid = np.array(ctx.exposure_timeline)
         tidx = np.array([self.time_to_index[t] for t in t_grid])
         expl = tables.rows(AtomicRequestType.SPOT, asset, tidx, t_grid)     # [T, N]
         numeraire = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", tidx, t_grid)
-        degree = ctx.regression_function.degree
-        basis = jnp.stack([expl**k for k in range(degree + 1)], axis=-1)     # [T, N, deg]
-        return basis, numeraire
+        return expl, numeraire
 
     def fit_exposure(self, tables: ObservableTables, ctx: ExposureContext) -> None:
         """Regress masked terminal cashflows on the explanatory spot.
@@ -253,27 +259,57 @@ class TerminalBatch:
         coeffs_all = jnp.zeros((len(t_grid), P, deg), dtype=real_dtype())
         for a, p_rows in by_asset.items():
             p_rows = np.array(p_rows)
-            basis, numeraire = self._exposure_grid_obs(tables, ctx, a)
-            # column equilibration per date (see utils/regression)
-            col_scale = jnp.maximum(jnp.sqrt(jnp.mean(basis * basis, axis=1)), 1e-30)
-            basis_s = basis / col_scale[:, None, :]
-            gram = jnp.einsum("tnd,tne->tde", basis_s, basis_s, precision="highest")
+            expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
+            n_paths = expl.shape[1]
+            # Gram entries are monomial power sums S_k[t] = sum_n expl^k,
+            # k = 0..2(deg-1): accumulate them with ONE running [T, N]
+            # power instead of a [T, N, deg] Vandermonde stack — that stack
+            # (plus its jvp tangent and XLA copies) was the dominant HBM
+            # resident of every at-scale run (4 x 1.5GB in the 2M kernel-AD
+            # OOM dump, round 4).
+            pw = jnp.ones_like(expl)
+            s_list = [jnp.full(expl.shape[:1], float(n_paths), expl.dtype)]
+            for _ in range(2 * deg - 2):
+                pw = pw * expl
+                s_list.append(pw.sum(axis=1))
+            S = jnp.stack(s_list)                               # [2deg-1, T]
+            # column equilibration per date (see utils/regression):
+            # col_scale[t, d] = sqrt(mean_n expl^{2d})
+            col_scale = jnp.maximum(
+                jnp.sqrt(jnp.stack([S[2 * d] for d in range(deg)], -1)
+                         / n_paths),
+                1e-30,
+            )                                                   # [T, deg]
+            gram = jnp.moveaxis(
+                S[np.add.outer(np.arange(deg), np.arange(deg))], -1, 0
+            )                                                   # [T, deg, deg]
+            gram = gram / (col_scale[:, :, None] * col_scale[:, None, :])
             ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
             scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
             gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-            # rhs[t,d,p] = sum_n basis[t,n,d] num[t,n] cf[p,n], masked to
-            # strictly-future cashflows (maturity > t).  The [Pa, N]
-            # normalized-cashflow block is built in product chunks so the fit
-            # never materialises a payoff matrix beyond the chunk budget.
-            weighted = basis_s * numeraire[:, :, None]
-            rhs_parts = []
+            # rhs[t,d,p] = sum_n expl^d num[t,n] cf[p,n] / col_scale[t,d],
+            # masked to strictly-future cashflows (maturity > t).  Outer
+            # loop over the degree keeps a single running [T, N] weighted
+            # power; the [Pa, N] normalized-cashflow block is built in
+            # product chunks so the fit never materialises a payoff matrix
+            # beyond the chunk budget.
+            cf_chunks = []
             for lo in range(0, len(p_rows), chunk):
                 rows_c = p_rows[lo:lo + chunk]
-                cf_c = self._subset(rows_c).cashflows(tables)     # [K, N]
-                rhs_parts.append(jnp.einsum(
-                    "tnd,pn->tdp", weighted, cf_c, precision="highest",
-                ))
-            rhs = jnp.concatenate(rhs_parts, axis=-1)
+                cf_chunks.append(self._subset(rows_c).cashflows(tables))
+            w = numeraire
+            rhs_rows = []
+            for d in range(deg):
+                if d:
+                    w = w * expl
+                parts = [
+                    jnp.einsum("tn,pn->tp", w, cf_c, precision="highest")
+                    for cf_c in cf_chunks
+                ]
+                rhs_rows.append(
+                    jnp.concatenate(parts, axis=-1) / col_scale[:, d, None]
+                )
+            rhs = jnp.stack(rhs_rows, axis=1)                   # [T, deg, Pa]
             mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
             rhs = rhs * mask[:, None, :]
             sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
@@ -300,20 +336,25 @@ class TerminalBatch:
         )
         for a, p_rows in by_asset.items():
             p_rows = np.array(p_rows)
-            basis, numeraire = self._exposure_grid_obs(tables, ctx, a)
+            expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
             coeffs = self._exp_coeffs[:, p_rows, :]            # [T, Pa, deg]
             coeffs_ns = jax.vmap(
                 lambda c: jax.ops.segment_sum(
                     c, ns_seg[p_rows], num_segments=ctx.num_netting_sets
                 )
             )(coeffs)                                          # [T, n_ns, deg]
-            # Mul-add over the deg axis, not dot_general: a deg-sized
-            # contracting dim pads the [T, N, deg] basis to 128 lanes on TPU
-            # (ops/noise.py rationale).
-            exposure = (
-                coeffs_ns[:, :, None, :] * basis[:, None, :, :]
-            ).sum(-1) / numeraire[:, None, :]
-            total = total + exposure
+            # Horner over the degree axis: only [T, n_ns, N] + [T, N] live —
+            # never a [T, N, deg] basis stack (the round-4 HBM finding) and
+            # no deg-sized dot_general contracting dim (which would pad to
+            # 128 lanes on TPU, ops/noise.py rationale).
+            deg = coeffs_ns.shape[-1]
+            acc = jnp.broadcast_to(
+                coeffs_ns[:, :, deg - 1][:, :, None],
+                coeffs_ns.shape[:2] + (expl.shape[1],),
+            )
+            for d in range(deg - 2, -1, -1):
+                acc = acc * expl[:, None, :] + coeffs_ns[:, :, d][:, :, None]
+            total = total + acc / numeraire[:, None, :]
         return total
 
     def _spot_matrix(self, tables: ObservableTables, asset_ids, tidx_mat, times_mat):
