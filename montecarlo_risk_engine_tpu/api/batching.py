@@ -261,38 +261,39 @@ class TerminalBatch:
             p_rows = np.array(p_rows)
             expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
             n_paths = expl.shape[1]
-            # Gram entries are monomial power sums S_k[t] = sum_n expl^k,
-            # k = 0..2(deg-1): accumulate them with ONE running [T, N]
-            # power instead of a [T, N, deg] Vandermonde stack — that stack
-            # (plus its jvp tangent and XLA copies) was the dominant HBM
-            # resident of every at-scale run (4 x 1.5GB in the 2M kernel-AD
-            # OOM dump, round 4).
-            pw = jnp.ones_like(expl)
-            s_list = [jnp.full(expl.shape[:1], float(n_paths), expl.dtype)]
+            # Gram entries are monomial power sums accumulated with ONE
+            # running [T, N] power instead of a [T, N, deg] Vandermonde
+            # stack — that stack (plus its jvp tangent and XLA copies) was
+            # a dominant HBM resident of every at-scale run (round 4).
+            # The powers are taken of the RMS-NORMALISED explanatory
+            # y = x / sqrt(mean x^2), so every summand stays O(1) and the
+            # f32 accumulation loses no precision to magnitude (summing
+            # raw x^4 ~ 1e8 over millions of paths moved a 2M-path CVA by
+            # ~4 sigma); the implied column equilibration is s^d, undone on
+            # the solved coefficients exactly like the old per-column RMS.
+            s1 = jnp.maximum(
+                jnp.sqrt((expl * expl).sum(axis=1) / n_paths), 1e-30
+            )                                                   # [T]
+            y = expl / s1[:, None]
+            pw = jnp.ones_like(y)
+            s_list = [jnp.full(y.shape[:1], float(n_paths), y.dtype)]
             for _ in range(2 * deg - 2):
-                pw = pw * expl
+                pw = pw * y
                 s_list.append(pw.sum(axis=1))
             S = jnp.stack(s_list)                               # [2deg-1, T]
-            # column equilibration per date (see utils/regression):
-            # col_scale[t, d] = sqrt(mean_n expl^{2d})
-            col_scale = jnp.maximum(
-                jnp.sqrt(jnp.stack([S[2 * d] for d in range(deg)], -1)
-                         / n_paths),
-                1e-30,
-            )                                                   # [T, deg]
+            col_scale = s1[:, None] ** jnp.arange(deg, dtype=s1.dtype)[None, :]
             gram = jnp.moveaxis(
                 S[np.add.outer(np.arange(deg), np.arange(deg))], -1, 0
             )                                                   # [T, deg, deg]
-            gram = gram / (col_scale[:, :, None] * col_scale[:, None, :])
             ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
             scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
             gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-            # rhs[t,d,p] = sum_n expl^d num[t,n] cf[p,n] / col_scale[t,d],
-            # masked to strictly-future cashflows (maturity > t).  Outer
-            # loop over the degree keeps a single running [T, N] weighted
-            # power; the [Pa, N] normalized-cashflow block is built in
-            # product chunks so the fit never materialises a payoff matrix
-            # beyond the chunk budget.
+            # rhs[t,d,p] = sum_n y^d num[t,n] cf[p,n], masked to
+            # strictly-future cashflows (maturity > t).  Outer loop over the
+            # degree keeps a single running [T, N] weighted power; the
+            # [Pa, N] normalized-cashflow block is built in product chunks
+            # so the fit never materialises a payoff matrix beyond the
+            # chunk budget.
             cf_chunks = []
             for lo in range(0, len(p_rows), chunk):
                 rows_c = p_rows[lo:lo + chunk]
@@ -301,14 +302,12 @@ class TerminalBatch:
             rhs_rows = []
             for d in range(deg):
                 if d:
-                    w = w * expl
+                    w = w * y
                 parts = [
                     jnp.einsum("tn,pn->tp", w, cf_c, precision="highest")
                     for cf_c in cf_chunks
                 ]
-                rhs_rows.append(
-                    jnp.concatenate(parts, axis=-1) / col_scale[:, d, None]
-                )
+                rhs_rows.append(jnp.concatenate(parts, axis=-1))
             rhs = jnp.stack(rhs_rows, axis=1)                   # [T, deg, Pa]
             mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
             rhs = rhs * mask[:, None, :]
