@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from montecarlo_risk_engine_tpu.config import asarray, real_dtype
+from montecarlo_risk_engine_tpu.metrics.metrics import fixed_tree_sum
 from montecarlo_risk_engine_tpu.products.asian_option import AsianAveragingType, AsianOption
 from montecarlo_risk_engine_tpu.products.barrier_option import BarrierOption, BarrierOptionType
 from montecarlo_risk_engine_tpu.products.base import OptionType
@@ -271,15 +272,20 @@ class TerminalBatch:
             # raw x^4 ~ 1e8 over millions of paths moved a 2M-path CVA by
             # ~4 sigma); the implied column equilibration is s^d, undone on
             # the solved coefficients exactly like the old per-column RMS.
+            # All path-axis reductions in this fit use fixed_tree_sum so the
+            # solved coefficients — and hence every regression-built exposure
+            # value — are bitwise identical under any path sharding (a
+            # matmul/einsum contraction schedule is tiling- and therefore
+            # shard-dependent; round-4 verdict #3).
             s1 = jnp.maximum(
-                jnp.sqrt((expl * expl).sum(axis=1) / n_paths), 1e-30
+                jnp.sqrt(fixed_tree_sum(expl * expl, axis=1) / n_paths), 1e-30
             )                                                   # [T]
             y = expl / s1[:, None]
             pw = jnp.ones_like(y)
             s_list = [jnp.full(y.shape[:1], float(n_paths), y.dtype)]
             for _ in range(2 * deg - 2):
                 pw = pw * y
-                s_list.append(pw.sum(axis=1))
+                s_list.append(fixed_tree_sum(pw, axis=1))
             S = jnp.stack(s_list)                               # [2deg-1, T]
             col_scale = s1[:, None] ** jnp.arange(deg, dtype=s1.dtype)[None, :]
             gram = jnp.moveaxis(
@@ -294,9 +300,13 @@ class TerminalBatch:
             # [Pa, N] normalized-cashflow block is built in product chunks
             # so the fit never materialises a payoff matrix beyond the
             # chunk budget.
+            # The [T, Pc, N] product temp of the fixed-tree contraction costs
+            # T x the [Pc, N] cashflow block, so shrink the product chunk by
+            # the number of exposure dates to hold the same byte budget.
+            chunk_rhs = max(1, chunk // max(1, len(t_grid)))
             cf_chunks = []
-            for lo in range(0, len(p_rows), chunk):
-                rows_c = p_rows[lo:lo + chunk]
+            for lo in range(0, len(p_rows), chunk_rhs):
+                rows_c = p_rows[lo:lo + chunk_rhs]
                 cf_chunks.append(self._subset(rows_c).cashflows(tables))
             w = numeraire
             rhs_rows = []
@@ -304,7 +314,7 @@ class TerminalBatch:
                 if d:
                     w = w * y
                 parts = [
-                    jnp.einsum("tn,pn->tp", w, cf_c, precision="highest")
+                    fixed_tree_sum(w[:, None, :] * cf_c[None, :, :], axis=2)
                     for cf_c in cf_chunks
                 ]
                 rhs_rows.append(jnp.concatenate(parts, axis=-1))
@@ -859,15 +869,28 @@ class ExerciseEquityBatch(TerminalBatch):
     def _fit(self, basis, targets, weights=None):
         # basis [P, N, deg], targets [P, N, S] -> coeffs [P, S, deg]
         # Column equilibration (see utils/regression.fit_least_squares).
-        col_scale = jnp.maximum(jnp.sqrt(jnp.mean(basis * basis, axis=1)), 1e-30)
+        # Path-axis reductions via fixed_tree_sum (NOT einsum) keep the
+        # coefficients bitwise shard-invariant; the per-degree loop bounds
+        # the temp at one [P, N, max(deg, S)] array — the same footprint as
+        # the inputs (these fits run on presim paths).
+        n = basis.shape[1]
+        col_scale = jnp.maximum(
+            jnp.sqrt(fixed_tree_sum(basis * basis, axis=1) / n), 1e-30
+        )
         basis_s = basis / col_scale[:, None, :]
         basis_w = basis_s if weights is None else basis_s * weights[:, :, None]
-        gram = jnp.einsum("pnd,pne->pde", basis_w, basis_s, precision="highest")
         deg = basis.shape[-1]
+        gram = jnp.stack([
+            fixed_tree_sum(basis_w[:, :, d:d + 1] * basis_s, axis=1)
+            for d in range(deg)
+        ], axis=1)                                              # [P, deg, deg]
         ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
         scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
         gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
-        rhs = jnp.einsum("pnd,pns->pds", basis_w, targets, precision="highest")
+        rhs = jnp.stack([
+            fixed_tree_sum(basis_w[:, :, d:d + 1] * targets, axis=1)
+            for d in range(deg)
+        ], axis=1)                                              # [P, deg, S]
         coeffs = jnp.swapaxes(jnp.linalg.solve(gram, rhs), 1, 2)
         return coeffs / col_scale[:, None, :]
 

@@ -154,8 +154,9 @@ def simulate_paths(
             # Sobol dimension l*sim_dim + f, so every factor's coarse path
             # structure lands on the best-distributed leading dimensions.
             # The rotated [T_sub, N, sim_dim] plane is built ONCE before the
-            # scan (an MXU matmul over the level axis); the QE uniforms keep
-            # their per-substep dimensions AFTER the normal block.
+            # scan via a fixed-order accumulation over the level axis (see
+            # below); the QE uniforms keep their per-substep dimensions AFTER
+            # the normal block.
             from montecarlo_risk_engine_tpu.ops.sobol import (
                 brownian_bridge_matrix,
             )

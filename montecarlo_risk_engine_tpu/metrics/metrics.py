@@ -12,7 +12,8 @@ Conventions preserved exactly (part of the public contract, SURVEY.md §5.5):
     finite-difference density standard error and the flat-region zero cases
     (pfe_metric.py:13-66);
   * EEPE is the plain time-average of EE with the std-across-dates error
-    (eepe_metric.py:11-16 — quirk Q6, reproduced deliberately);
+    (eepe_metric.py:11-16 — quirk Q6, reproduced deliberately); the
+    regulatory running-max variant is opt-in via ``EEPEMetric(effective=True)``;
   * CVA accumulates pathwise ``E+(t_k) · S(0,t_k) · (1 - S(t_k,t_{k+1}))``
     scaled by (1 - recovery) (cva_metric.py:62-100).
 
@@ -27,6 +28,7 @@ import math
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from montecarlo_risk_engine_tpu.config import asarray, real_dtype
@@ -48,8 +50,8 @@ class EvaluationType(enum.Enum):
     NUMERICAL = "Numerical"
 
 
-def fixed_tree_sum(values):
-    """Sum over the leading axis in a FIXED pairwise-halving order.
+def fixed_tree_sum(values, axis: int = 0):
+    """Sum over ``axis`` in a FIXED pairwise-halving order.
 
     ``jnp.sum``/``jnp.mean`` let XLA pick the reduction schedule, which
     depends on how the path axis is sharded — a 1-ulp sharded-vs-unsharded
@@ -61,18 +63,28 @@ def fixed_tree_sum(values):
     log2(N) steps — negligible next to path generation.
     """
     values = jnp.asarray(values)
-    n = values.shape[0]
+    axis = axis % max(values.ndim, 1)
+    n = values.shape[axis] if values.ndim else 0
     if n == 0:
-        return jnp.zeros(values.shape[1:], values.dtype)
+        shape = values.shape[:axis] + values.shape[axis + 1:]
+        return jnp.zeros(shape, values.dtype)
     p = 1 << (n - 1).bit_length()
     if p != n:
+        pad_shape = list(values.shape)
+        pad_shape[axis] = p - n
         values = jnp.concatenate(
-            [values, jnp.zeros((p - n,) + values.shape[1:], values.dtype)]
+            [values, jnp.zeros(pad_shape, values.dtype)], axis=axis
         )
-    while values.shape[0] > 1:
-        half = values.shape[0] // 2
-        values = values[:half] + values[half:]
-    return values[0]
+    ix = [slice(None)] * values.ndim
+    while values.shape[axis] > 1:
+        half = values.shape[axis] // 2
+        lo, hi = list(ix), list(ix)
+        lo[axis] = slice(0, half)
+        hi[axis] = slice(half, None)
+        values = values[tuple(lo)] + values[tuple(hi)]
+    sq = list(ix)
+    sq[axis] = 0
+    return values[tuple(sq)]
 
 
 def mc_mean_and_error(values) -> Tuple:
@@ -169,11 +181,33 @@ class ENEMetric(Metric):
 
 
 class EEPEMetric(Metric):
-    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL):
+    """EEPE: time-average of per-date EE (eepe_metric.py:11-16, quirk Q6).
+
+    ``effective=False`` (default) reproduces the reference exactly: the plain
+    average of EE over the exposure dates, with the std-across-dates error.
+    ``effective=True`` is the opt-in regulatory (IMM-style) variant the
+    reference skips: Effective EE(t_k) = max_{j<=k} EE(t_j) — a running max
+    over dates — time-averaged the same way.
+
+    Per-date EE reduces the path axis via :func:`fixed_tree_sum` so EEPE
+    honours the same bitwise sharded==unsharded contract as every other
+    metric (``jnp.mean`` lets XLA pick a shard-dependent schedule).
+    """
+
+    def __init__(self, evaluation_type: EvaluationType = EvaluationType.NUMERICAL,
+                 effective: bool = False):
         super().__init__(MetricType.EEPE, evaluation_type)
+        self.effective = bool(effective)
+
+    def get_name(self) -> str:
+        return "eepe[effective]" if self.effective else "eepe"
 
     def evaluate_numerically(self, exposures=None, **kwargs):
-        per_date_ee = jnp.stack([jnp.mean(jnp.maximum(e, 0.0)) for e in exposures])
+        per_date_ee = jnp.stack(
+            [fixed_tree_sum(jnp.maximum(e, 0.0)) / e.shape[0] for e in exposures]
+        )
+        if self.effective:
+            per_date_ee = jax.lax.cummax(per_date_ee)
         return [mc_mean_and_error(per_date_ee)]
 
 
@@ -239,7 +273,7 @@ class PFEMetric(Metric):
         se = jnp.sqrt(self.quantile * (1.0 - self.quantile) / (n * f_q * f_q))
         return jnp.where(flat, 0.0, se)
 
-    def _bracket_indices(self, n: int, q_index: int):
+    def _bracket_indices(self, n: int):
         """(k_lo, k_hi) of the +-1-sigma binomial order-statistic bracket."""
         m = self.quantile * n
         half = math.sqrt(n * self.quantile * (1.0 - self.quantile))
@@ -253,7 +287,7 @@ class PFEMetric(Metric):
         n = exposures[0].shape[0]
         q_index = int(math.ceil(self.quantile * n)) - 1
         if self.pfe_se == "order-statistic":
-            k_lo, k_hi = self._bracket_indices(n, q_index)
+            k_lo, k_hi = self._bracket_indices(n)
             se_ks = (k_lo, k_hi)
         else:
             se_ks = (max(q_index - 1, 0), min(q_index + 1, n - 1))

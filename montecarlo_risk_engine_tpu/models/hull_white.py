@@ -146,6 +146,7 @@ class HullWhiteModel(Model):
         r_next = x_next + self._alpha(params, t2)
         return jnp.concatenate([r_next, log_b], axis=-1)
 
+    # Milstein == Euler: the x-factor diffusion sigma is state-independent.
     step_milstein = step_euler
 
     def invert_noise(self, params, scheme, t1, t2, state, next_state):

@@ -285,3 +285,48 @@ def test_hybrid_analytical_cirpp_moment_matched_covariance():
     # marginals agree too (mean/std of the intensity factor)
     assert abs(y_a.mean() - y_e.mean()) < 3e-4, (y_a.mean(), y_e.mean())
     assert abs(y_a.std() - y_e.std()) < 0.1 * y_e.std(), (y_a.std(), y_e.std())
+
+
+def test_cirpp_milstein_strong_order_beats_euler():
+    """CIR++ MILSTEIN adds the 0.25 sigma^2 (dW^2 - dt) sqrt-diffusion
+    correction (round-4 verdict #6 — previously a silent Euler alias).
+    Strong-convergence oracle: drive coarse steps (dt=0.25) and a fine Euler
+    reference (dt=0.25/64) with the SAME Brownian path; the Milstein coarse
+    endpoint must sit strictly closer to the fine reference than the Euler
+    coarse endpoint (pathwise RMS), and the correction must change the step
+    output (no alias)."""
+    import jax.numpy as jnp
+
+    from montecarlo_risk_engine_tpu import CIRPPModel
+
+    model = CIRPPModel(0.0, asset_id="cp", hazard_rates={1.0: 0.02, 5.0: 0.02},
+                       kappa=0.5, theta=0.05, volatility=0.2, y0=0.05)
+    params = model.initial_params()
+
+    n, K, m = 20_000, 4, 64
+    T = 1.0
+    dt_c = T / K
+    dt_f = dt_c / m
+    rng_np = np.random.default_rng(11)
+    z_fine = rng_np.standard_normal((K, m, n)).astype(np.float64)
+    # coarse standard normal = sum of fine increments / sqrt(dt_c)
+    z_coarse = z_fine.sum(axis=1) * np.sqrt(dt_f) / np.sqrt(dt_c)
+
+    def run(step, z, dt, substeps):
+        state = model.init_state(params, n).astype(jnp.float64)
+        t = 0.0
+        for k in range(z.shape[0]):
+            for j in range(substeps):
+                noise = jnp.asarray(z[k, j] if z.ndim == 3 else z[k])[:, None]
+                state = step(params, t, t + dt, state, noise)
+                t += dt
+        return np.asarray(state[:, 0])
+
+    y_fine = run(model.step_euler, z_fine, dt_f, m)
+    y_euler = run(model.step_euler, z_coarse, dt_c, 1)
+    y_milstein = run(model.step_milstein, z_coarse, dt_c, 1)
+
+    rms_euler = np.sqrt(np.mean((y_euler - y_fine) ** 2))
+    rms_milstein = np.sqrt(np.mean((y_milstein - y_fine) ** 2))
+    assert not np.allclose(y_euler, y_milstein)  # no silent alias
+    assert rms_milstein < rms_euler * 0.9, (rms_milstein, rms_euler)

@@ -62,6 +62,75 @@ def test_sharded_run_matches_single_device():
         np.testing.assert_allclose(g_sharded[name], g_plain[name], rtol=1e-8)
 
 
+def _run_all_metrics_book(sharding, streaming):
+    """Hybrid Vasicek x CIR++ swap book exercising ALL seven metrics."""
+    from montecarlo_risk_engine_tpu import (
+        CEMetric,
+        CIRPPModel,
+        CVAMetric,
+        EEPEMetric,
+        ENEMetric,
+        InterestRateSwap,
+        IRSType,
+        ModelConfig,
+        VasicekModel,
+    )
+
+    hazards = {1.0: 0.01, 3.0: 0.015, 5.0: 0.02}
+    cp = "cp"
+    rates = VasicekModel(0.0, rate=0.03, mean=0.05, mean_reversion_speed=0.1,
+                         volatility=0.01, asset_id="irs")
+    credit = CIRPPModel(0.0, asset_id=cp, hazard_rates=hazards, kappa=0.1,
+                        theta=0.01, volatility=0.02, y0=0.0001)
+    model = ModelConfig([rates, credit],
+                        inter_asset_correlation_matrix=[np.array([[0.3]])])
+    irs = InterestRateSwap(0.0, 1.0, notional=1.0, fixed_rate=0.03,
+                           tenor_fixed=0.5, tenor_float=0.5,
+                           irs_type=IRSType.PAYER, asset_id="irs")
+    metrics = [
+        PVMetric(), CEMetric(), EPEMetric(), ENEMetric(), EEPEMetric(),
+        PFEMetric(0.95), CVAMetric(counterparty_id=cp, recovery_rate=0.4),
+    ]
+    controller = SimulationController(
+        netting_sets=[NettingSet(name="ns", products=[irs], counterparty_id=cp)],
+        model=model,
+        risk_metrics=RiskMetrics(
+            metrics=metrics, exposure_timeline=np.array([0.0, 0.5, 1.0])
+        ),
+        num_paths_mainsim=4096,
+        num_paths_presim=4096,
+        num_steps=1,
+        simulation_scheme=SimulationScheme.EULER,
+        path_sharding=sharding,
+        streaming=streaming,
+    )
+    names = ("pv", "ce", "epe", "ene", "eepe", "pfe[0.95]", f"cva[{cp}]")
+    return controller.run_simulation(), names
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("streaming", [False, True])
+def test_all_seven_metrics_bitwise_shard_invariant(streaming):
+    """Every metric (incl. EEPE/CE/CVA) must be BITWISE identical between the
+    unsharded run and the 8-device sharded run, in both engine modes —
+    counter-based draws + fixed-tree reductions make topology invisible
+    (round-4 verdict #3: EEPE previously reduced via jnp.mean)."""
+    mesh = make_path_mesh(8)
+    sharded, names = _run_all_metrics_book(path_sharding(mesh), streaming)
+    plain, _ = _run_all_metrics_book(None, streaming)
+    for metric in names:
+        np.testing.assert_array_equal(
+            np.asarray(sharded.get_results("ns", metric)),
+            np.asarray(plain.get_results("ns", metric)),
+            err_msg=f"metric {metric} not bitwise shard-invariant",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.get_mc_error("ns", metric)),
+            np.asarray(plain.get_mc_error("ns", metric)),
+            err_msg=f"metric {metric} SE not bitwise shard-invariant",
+        )
+
+
 def test_shard_paths_over_mesh_layout_cpu():
     """Mesh plumbing on the 8-device CPU mesh with a deterministic fake
     path_fn: the assembled [T, N, D] plane must place device d's block at
