@@ -69,6 +69,7 @@ def simulate_paths(
     collect_states: bool = True,
     sampler: str = "pseudo",
     qmc_bridge: bool = False,
+    fold=None,
 ):
     """Simulate states at each timeline point.
 
@@ -106,6 +107,16 @@ def simulate_paths(
     Returns states [T, num_paths, state_dim] (or transposed), or
     (states_or_None, emissions) when emit_schedule is given; emissions is a
     list (one entry per schedule group) of [T*K, N] / [T*K] arrays.
+
+    Fold mode (``fold=(aux0, update)`` with an emit_schedule): instead of
+    stacking the emitted rows across the scan, each point's rows are consumed
+    IMMEDIATELY by ``update(point_idx, rows, state, aux) -> aux`` — rows is a
+    tuple (one [K, N] array per schedule group) resolved against the live
+    state.  The scan carries the ``aux`` accumulator pytree alongside the
+    state and returns the final aux; NOTHING of shape [rows, N] or
+    [T, N, ...] ever leaves the scan (the round-5 streaming metric pipeline —
+    per-date netting, collateral stashes and metric partial reductions live
+    inside the scan).  Unconsumed rows are dead code XLA eliminates.
     """
     if antithetic and num_paths % 2:
         raise ValueError("antithetic sampling requires an even num_paths")
@@ -328,6 +339,25 @@ def simulate_paths(
             )
 
         return rows
+
+    if fold is not None:
+        aux0, fold_update = fold
+
+        def fold_body(carry, xs):
+            state, aux = carry
+            point_idx, t_prev, dt_interval, emit_rows = xs
+            state = point_step(state, point_idx, t_prev, dt_interval)
+            resolver = emit(state)
+            ys = tuple(
+                resolver(t1_row, t2_row, g)
+                for (t1_row, t2_row), g in zip(emit_rows, groups)
+            )
+            aux = fold_update(point_idx, ys, state, aux)
+            return (state, aux), None
+
+        xs = (jnp.arange(num_points), t_prev_arr, dt_arr, emit_tabs)
+        (_, aux_final), _ = jax.lax.scan(fold_body, (state0, aux0), xs)
+        return aux_final
 
     def point_body(state, xs):
         point_idx, t_prev, dt_interval, emit_rows = xs

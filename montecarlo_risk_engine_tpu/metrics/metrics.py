@@ -61,6 +61,16 @@ def fixed_tree_sum(values, axis: int = 0):
     is a single float add of two well-defined operands, so the rounded
     result is identical under ANY partitioning.  Cost is ~2N adds in
     log2(N) steps — negligible next to path generation.
+
+    Caveat (measured, round 5): the fixed structure removes every ORDERING
+    freedom, but the compiler retains instruction-selection freedom — XLA may
+    contract a producer multiply into the first halving add as an FMA, and
+    whether it does so can differ between differently-partitioned compiles of
+    large fused programs (observed once on XLA:CPU as a 1-ulp standard-error
+    drift; metric VALUES were bitwise across shardings, and
+    ``optimization_barrier`` fences demonstrably do not pin it).  The
+    determinism contract is therefore: bitwise-identical metric values under
+    any sharding, standard errors within 1 ulp.
     """
     values = jnp.asarray(values)
     axis = axis % max(values.ndim, 1)
