@@ -39,6 +39,8 @@ from montecarlo_risk_engine_tpu.metrics.metrics import fixed_tree_sum
 from montecarlo_risk_engine_tpu.products.asian_option import AsianAveragingType, AsianOption
 from montecarlo_risk_engine_tpu.products.barrier_option import BarrierOption, BarrierOptionType
 from montecarlo_risk_engine_tpu.products.base import OptionType
+from montecarlo_risk_engine_tpu.products.bond import Bond
+from montecarlo_risk_engine_tpu.products.swap import InterestRateSwap, IRSType
 from montecarlo_risk_engine_tpu.products.basket_option import BasketOption, BasketOptionType
 from montecarlo_risk_engine_tpu.products.bermudan_option import BermudanOption
 from montecarlo_risk_engine_tpu.products.binary_option import BinaryOption
@@ -73,6 +75,29 @@ class ObservableTables:
 
             out = self.model.resolve_request_rows(
                 self.params, kind, asset_id, t1, t2, gather_rows(self.states, tidx)
+            )
+            if out.ndim == 1:
+                out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))
+            self._cache[key] = out
+        return self._cache[key]
+
+    def request_rows(self, kind, asset_id, tidx, times1, times2, handles):
+        """Resolved rows [len(tidx), N] for explicit (t1, t2) requests.
+
+        Unlike :meth:`rows`, this resolves against the full request identity
+        — needed for two-time observables (LIBOR fixings) where a kind-level
+        (time, asset) lookup may be ambiguous.  Plane mode resolves directly
+        from the gathered states; ``handles`` are ignored.
+        """
+        key = (kind, asset_id, tuple(np.asarray(tidx).tolist()),
+               tuple(np.round(np.asarray(times1), 12).tolist()),
+               tuple(np.round(np.asarray(times2), 12).tolist()))
+        if key not in self._cache:
+            from montecarlo_risk_engine_tpu.ops.gather import gather_rows
+
+            out = self.model.resolve_request_rows(
+                self.params, kind, asset_id, asarray(times1), asarray(times2),
+                gather_rows(self.states, np.asarray(tidx)),
             )
             if out.ndim == 1:
                 out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))
@@ -119,6 +144,31 @@ class EmittedTables:
                         f"at time index {t} — request not registered in the plan"
                     )
                 locs.append(self.schedule.handle_loc[lookup[lkey]])
+            group_ids = {g for g, _ in locs}
+            assert len(group_ids) == 1, "one (kind, asset) query spans one group"
+            flat = self.emissions[locs[0][0]]
+            rows_idx = tuple(r for _, r in locs)
+            if flat.ndim >= 2:
+                from montecarlo_risk_engine_tpu.ops.gather import take_time_rows
+
+                out = take_time_rows(flat, rows_idx, int(flat.shape[0]))
+            else:
+                out = flat[np.array(rows_idx)]
+            if out.ndim == 1:
+                out = jnp.broadcast_to(out[:, None], (out.shape[0], self.num_paths))
+            self._cache[key] = out
+        return self._cache[key]
+
+    def request_rows(self, kind, asset_id, tidx, times1, times2, handles):
+        """Resolved rows [len(handles), N] gathered by request HANDLE.
+
+        Streaming mode already resolved every request in-scan; a handle is an
+        exact row address (no kind-level ambiguity for two-time observables
+        like LIBOR fixings).  times are ignored.
+        """
+        key = (kind, asset_id, tuple(int(h) for h in handles))
+        if key not in self._cache:
+            locs = [self.schedule.handle_loc[int(h)] for h in handles]
             group_ids = {g for g, _ in locs}
             assert len(group_ids) == 1, "one (kind, asset) query spans one group"
             flat = self.emissions[locs[0][0]]
@@ -236,6 +286,43 @@ class TerminalBatch:
         numeraire = tables.rows(AtomicRequestType.NUMERAIRE, "numeraire", tidx, t_grid)
         return expl, numeraire
 
+    def _exposure_gram(self, expl, deg: int):
+        """(gram [T, deg, deg], col_scale [T, deg], y [T, N]) for the
+        exposure-grid normal equations.
+
+        Gram entries are monomial power sums accumulated with ONE running
+        [T, N] power instead of a [T, N, deg] Vandermonde stack — that stack
+        (plus its jvp tangent and XLA copies) was a dominant HBM resident of
+        every at-scale run (round 4).  The powers are taken of the
+        RMS-NORMALISED explanatory y = x / sqrt(mean x^2), so every summand
+        stays O(1) and the f32 accumulation loses no precision to magnitude
+        (summing raw x^4 ~ 1e8 over millions of paths moved a 2M-path CVA by
+        ~4 sigma); the implied column equilibration is s^d, undone on the
+        solved coefficients exactly like the old per-column RMS.  All
+        path-axis reductions use fixed_tree_sum so the solved coefficients —
+        and hence every regression-built exposure value — are bitwise
+        identical under any path sharding (round-4 verdict #3).
+        """
+        n_paths = expl.shape[1]
+        s1 = jnp.maximum(
+            jnp.sqrt(fixed_tree_sum(expl * expl, axis=1) / n_paths), 1e-30
+        )                                                   # [T]
+        y = expl / s1[:, None]
+        pw = jnp.ones_like(y)
+        s_list = [jnp.full(y.shape[:1], float(n_paths), y.dtype)]
+        for _ in range(2 * deg - 2):
+            pw = pw * y
+            s_list.append(fixed_tree_sum(pw, axis=1))
+        S = jnp.stack(s_list)                               # [2deg-1, T]
+        col_scale = s1[:, None] ** jnp.arange(deg, dtype=s1.dtype)[None, :]
+        gram = jnp.moveaxis(
+            S[np.add.outer(np.arange(deg), np.arange(deg))], -1, 0
+        )                                                   # [T, deg, deg]
+        ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
+        scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
+        gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+        return gram, col_scale, y
+
     def fit_exposure(self, tables: ObservableTables, ctx: ExposureContext) -> None:
         """Regress masked terminal cashflows on the explanatory spot.
 
@@ -261,39 +348,7 @@ class TerminalBatch:
         for a, p_rows in by_asset.items():
             p_rows = np.array(p_rows)
             expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
-            n_paths = expl.shape[1]
-            # Gram entries are monomial power sums accumulated with ONE
-            # running [T, N] power instead of a [T, N, deg] Vandermonde
-            # stack — that stack (plus its jvp tangent and XLA copies) was
-            # a dominant HBM resident of every at-scale run (round 4).
-            # The powers are taken of the RMS-NORMALISED explanatory
-            # y = x / sqrt(mean x^2), so every summand stays O(1) and the
-            # f32 accumulation loses no precision to magnitude (summing
-            # raw x^4 ~ 1e8 over millions of paths moved a 2M-path CVA by
-            # ~4 sigma); the implied column equilibration is s^d, undone on
-            # the solved coefficients exactly like the old per-column RMS.
-            # All path-axis reductions in this fit use fixed_tree_sum so the
-            # solved coefficients — and hence every regression-built exposure
-            # value — are bitwise identical under any path sharding (a
-            # matmul/einsum contraction schedule is tiling- and therefore
-            # shard-dependent; round-4 verdict #3).
-            s1 = jnp.maximum(
-                jnp.sqrt(fixed_tree_sum(expl * expl, axis=1) / n_paths), 1e-30
-            )                                                   # [T]
-            y = expl / s1[:, None]
-            pw = jnp.ones_like(y)
-            s_list = [jnp.full(y.shape[:1], float(n_paths), y.dtype)]
-            for _ in range(2 * deg - 2):
-                pw = pw * y
-                s_list.append(fixed_tree_sum(pw, axis=1))
-            S = jnp.stack(s_list)                               # [2deg-1, T]
-            col_scale = s1[:, None] ** jnp.arange(deg, dtype=s1.dtype)[None, :]
-            gram = jnp.moveaxis(
-                S[np.add.outer(np.arange(deg), np.arange(deg))], -1, 0
-            )                                                   # [T, deg, deg]
-            ridge_rel = 1e-10 if jnp.finfo(gram.dtype).bits >= 64 else 1e-4
-            scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / deg
-            gram = gram + (ridge_rel * scale + 1e-30) * jnp.eye(deg, dtype=gram.dtype)
+            gram, col_scale, y = self._exposure_gram(expl, deg)
             # rhs[t,d,p] = sum_n y^d num[t,n] cf[p,n], masked to
             # strictly-future cashflows (maturity > t).  Outer loop over the
             # degree keeps a single running [T, N] weighted power; the
@@ -1012,6 +1067,213 @@ class ExerciseEquityBatch(TerminalBatch):
         return self.evaluate(tables, None)[0]
 
 
+class CouponBatch(TerminalBatch):
+    """All Bond / InterestRateSwap products in one event-table executor.
+
+    Round-4 verdict #2: coupon products previously went through the
+    per-product ``_evaluate_product`` loop, leaving one [T_exp, N] exposure
+    stack and one traced subgraph PER PRODUCT (five ~2GB stacks on the 8M
+    north-star probe; O(products) host trace on 5k-swap CVA books).  Here
+    every coupon collapses into static host event tables:
+
+      * fixed/notional events — (product row, pay date, signed amount) with
+        the amount a host constant (bond.py:165-198 semantics, incl. quirk
+        Q5's notional factor and the pays_notional terminal flow);
+      * float events — (product row, pay date, signed notional*accrual,
+        LIBOR request) consuming the same LIBOR_RATE rows the per-product
+        path resolves (swap.py:122-140 delegation semantics, sign from
+        IRSType).
+
+    Cashflows are one segment-sum over event chunks; the exposure fit
+    overrides the base's terminal-maturity mask with a descending-date sweep
+    that accumulates STRICTLY-FUTURE cashflows per product (pay > t, exactly
+    the backward-induction window of controller._perform_regression_for_
+    product), then solves the shared power-sum Gram per asset.
+    """
+
+    @staticmethod
+    def accepts(product) -> bool:
+        return type(product) in (Bond, InterestRateSwap)
+
+    @staticmethod
+    def group_key(product):
+        return ("coupon",)
+
+    def __init__(self, products, ns_idx, time_to_index):
+        super().__init__(products, ns_idx, time_to_index)
+        self._build_events()
+
+    def _legs(self, p):
+        if isinstance(p, InterestRateSwap):
+            fixed_sign = -1.0 if p.irs_type == IRSType.PAYER else 1.0
+            return [(p.fixed_leg, fixed_sign), (p.floating_leg, -fixed_sign)]
+        return [(p, 1.0)]
+
+    def _build_events(self):
+        # Fixed events: (prod_row, pay_time, amount, numeraire_req).
+        # Float events: (prod_row, pay_time, coef, libor_req, numeraire_req),
+        # cashflow = coef * L(t1, t2) / numeraire.  Request handles are read
+        # lazily at evaluation time (assigned by the RequestPlan).
+        self._fixed_events = []
+        self._float_events = []
+        for row, p in enumerate(self.products):
+            for leg, sign in self._legs(p):
+                asset = leg.get_asset_id()
+                prev = leg.startdate
+                last = len(leg.payment_dates) - 1
+                for idx, date in enumerate(leg.payment_dates):
+                    dt = date - prev
+                    prev = date
+                    nreq = leg.numeraire_requests[idx]
+                    if leg.fixed_rate is not None:
+                        amount = sign * leg.notional * leg.fixed_rate * dt
+                        if leg.pays_notional and idx == last:
+                            amount += sign * leg.notional
+                        self._fixed_events.append((row, date, amount, nreq))
+                    else:
+                        lreq = leg.libor_requests[(idx, asset)]
+                        coef = sign * leg.notional * dt
+                        self._float_events.append(
+                            (row, date, coef, lreq, nreq, asset)
+                        )
+                        if leg.pays_notional and idx == last:
+                            self._fixed_events.append(
+                                (row, date, sign * leg.notional, nreq)
+                            )
+
+    def _event_chunk(self, num_paths: int) -> int:
+        itemsize = jnp.dtype(real_dtype()).itemsize
+        return max(1, self.CASHFLOW_CHUNK_BYTES // max(1, num_paths * itemsize))
+
+    def _event_rows(self, tables, fixed_evs, float_evs):
+        """Pathwise normalized cashflow rows for explicit event lists.
+
+        Returns (prod_rows [E], rows [E, N]) accumulated in event chunks.
+        """
+        n = tables.num_paths
+        chunk = self._event_chunk(n)
+        prod_rows = []
+        pieces = []
+        for lo in range(0, len(fixed_evs), chunk):
+            evs = fixed_evs[lo:lo + chunk]
+            tidx = np.array([self.time_to_index[e[1]] for e in evs])
+            times = np.array([e[1] for e in evs])
+            handles = [e[3].handle for e in evs]
+            num = tables.request_rows(
+                AtomicRequestType.NUMERAIRE, "numeraire", tidx, times,
+                np.zeros_like(times), handles,
+            )
+            amounts = asarray([e[2] for e in evs])
+            pieces.append(amounts[:, None] / num)
+            prod_rows.extend(e[0] for e in evs)
+        by_asset = defaultdict(list)
+        for e in float_evs:
+            by_asset[e[5]].append(e)
+        for a, evs_a in sorted(by_asset.items()):
+            for lo in range(0, len(evs_a), chunk):
+                evs = evs_a[lo:lo + chunk]
+                tidx = np.array([self.time_to_index[e[1]] for e in evs])
+                times = np.array([e[1] for e in evs])
+                num = tables.request_rows(
+                    AtomicRequestType.NUMERAIRE, "numeraire", tidx, times,
+                    np.zeros_like(times), [e[4].handle for e in evs],
+                )
+                t1s = np.array([e[3].time1 for e in evs])
+                t2s = np.array([e[3].time2 for e in evs])
+                libor = tables.request_rows(
+                    AtomicRequestType.LIBOR_RATE, a, tidx, t1s, t2s,
+                    [e[3].handle for e in evs],
+                )
+                coefs = asarray([e[2] for e in evs])
+                pieces.append(coefs[:, None] * libor / num)
+                prod_rows.extend(e[0] for e in evs)
+        if not pieces:
+            return np.zeros(0, dtype=int), jnp.zeros((0, n), dtype=real_dtype())
+        return np.array(prod_rows), jnp.concatenate(pieces, axis=0)
+
+    def cashflows(self, tables) -> jnp.ndarray:
+        """[P, N] total normalized cashflows per product."""
+        P = len(self.products)
+        prod_rows, rows = self._event_rows(
+            tables, self._fixed_events, self._float_events
+        )
+        return jax.ops.segment_sum(
+            rows, jnp.asarray(prod_rows), num_segments=P
+        )
+
+    def fit_exposure(self, tables, ctx) -> None:
+        """Future-cashflow exposure regression on the internal exposure grid.
+
+        The base class masks by terminal maturity — correct only for
+        single-cashflow products.  Coupons need the STRICTLY-FUTURE window
+        per date: descending over the exposure grid, events enter the
+        running [Pc, N] future-cashflow accumulator at the last grid date
+        before their pay date, and each date's RHS is a fixed-tree
+        contraction of the weighted basis against the accumulator — the
+        same O(T x deg x P x N) as the base einsum, bitwise shard-invariant.
+        """
+        regfn = ctx.regression_function
+        deg = regfn.get_degree()
+        assets = self.explanatory_assets()
+        P = len(self.products)
+        t_grid = np.array(ctx.exposure_timeline)
+        T = len(t_grid)
+        n = tables.num_paths
+        chunk = max(1, self._cashflow_chunk(n))
+
+        by_asset = defaultdict(list)
+        for p_idx, a in enumerate(assets):
+            by_asset[a].append(p_idx)
+
+        coeffs_all = jnp.zeros((T, P, deg), dtype=real_dtype())
+        for a, p_rows in by_asset.items():
+            p_rows = np.array(p_rows)
+            expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
+            gram, col_scale, y = self._exposure_gram(expl, deg)
+            local = {int(g): i for i, g in enumerate(p_rows)}
+            rhs = jnp.zeros((T, deg, len(p_rows)), dtype=real_dtype())
+            for lo in range(0, len(p_rows), chunk):
+                rows_c = set(int(g) for g in p_rows[lo:lo + chunk])
+                Pc = len(rows_c)
+                col0 = lo
+                # bucket this chunk's events by the last grid date strictly
+                # before their pay date (event lives at all t <= k_e)
+                fixed_b = defaultdict(list)
+                float_b = defaultdict(list)
+                for e in self._fixed_events:
+                    if e[0] in rows_c:
+                        k_e = int(np.searchsorted(t_grid, e[1], side="left")) - 1
+                        if k_e >= 0:
+                            fixed_b[k_e].append(e)
+                for e in self._float_events:
+                    if e[0] in rows_c:
+                        k_e = int(np.searchsorted(t_grid, e[1], side="left")) - 1
+                        if k_e >= 0:
+                            float_b[k_e].append(e)
+                cf_future = jnp.zeros((Pc, n), dtype=real_dtype())
+                for t in range(T - 1, -1, -1):
+                    fe, le = fixed_b.get(t, []), float_b.get(t, [])
+                    if fe or le:
+                        ev_rows, ev_vals = self._event_rows(tables, fe, le)
+                        seg = np.array(
+                            [local[int(r)] - col0 for r in ev_rows]
+                        )
+                        cf_future = cf_future + jax.ops.segment_sum(
+                            ev_vals, jnp.asarray(seg), num_segments=Pc
+                        )
+                    w = numeraire[t]
+                    for d in range(deg):
+                        if d:
+                            w = w * y[t]
+                        rhs = rhs.at[t, d, col0:col0 + Pc].set(
+                            fixed_tree_sum(w[None, :] * cf_future, axis=1)
+                        )
+            sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
+            sol = sol / col_scale[:, :, None]
+            coeffs_all = coeffs_all.at[:, p_rows, :].set(jnp.swapaxes(sol, 1, 2))
+        self._exp_coeffs = coeffs_all
+
+
 BATCH_CLASSES = [
     EuropeanEquityBatch,
     BinaryBatch,
@@ -1019,6 +1281,7 @@ BATCH_CLASSES = [
     AsianBatch,
     BarrierBatch,
     ExerciseEquityBatch,
+    CouponBatch,
 ]
 
 

@@ -1816,6 +1816,31 @@ class SimulationController:
             )
         else:
             self._emission_schedule = None
+        # Streaming metric pipeline (round-5): exposure/netting/metric
+        # reductions fold INSIDE the path scan, so no [rows, N] or [T_exp, N]
+        # array is ever resident — the 8-16M-path-per-chip enabler for
+        # exposure books (api/streaming_metrics.py).  auto-on for eligible
+        # books whenever the streaming engine is engaged; it computes the
+        # same formulas through the same fixed-tree reductions.  Decided
+        # BEFORE the jacobian chunk gates below, which model the (much
+        # smaller) fold residents instead of the absent resolution plane.
+        self._metric_stream = None
+        if self.metric_streaming is not False:
+            from montecarlo_risk_engine_tpu.api.streaming_metrics import (
+                MetricStreamExecutor,
+                metric_stream_ineligibility,
+            )
+
+            reason = metric_stream_ineligibility(self)
+            if reason is None:
+                self._metric_stream = MetricStreamExecutor(self)
+                logger.info("streaming metric pipeline: ON")
+            elif self.metric_streaming is True:
+                raise ValueError(
+                    f"metric_streaming=True but the book is ineligible: {reason}"
+                )
+            else:
+                logger.info("streaming metric pipeline: off (%s)", reason)
         if (self._pallas_active and self.differentiate
                 and self._emission_schedule is not None):
             # Kernel-streaming AD: the per-tangent reconstruction buffers are
@@ -1840,7 +1865,30 @@ class SimulationController:
                 self._grad_chunk_effective = max(
                     self._grad_chunk_effective, chunk
                 )
-        if self.differentiate and not self._pallas_active:
+        if (self.differentiate and not self._pallas_active
+                and self._metric_stream is not None):
+            # Metric-streaming books have NO resolution plane: per-tangent
+            # residents are a handful of [N, D]-sized scan/fold buffers, so
+            # the plane-based cap below would throttle them to chunk 1 for
+            # nothing (measured v5e, 4M-path north star: chunk 1 = 37.8s,
+            # chunk 4 = 17.2s warm; chunks 6+ fail to compile, as does 8M at
+            # chunk 2).  Peak model fitted on those boundaries: primal ~
+            # 30 x [N, D] bytes + 1GB, per-tangent ~ 30 x [N, D] bytes —
+            # predicts 4M -> 4, 8M -> 1 on a 16GB chip.  The compile-OOM
+            # auto-heal in run_simulation backstops an optimistic guess.
+            hbm = self._device_hbm_bytes()
+            if hbm and jax.default_backend() == "tpu":
+                n = max(self.num_paths_mainsim, self.num_paths_presim)
+                nd_bytes = (
+                    n * self.model.state_dim * jnp.dtype(real_dtype()).itemsize
+                )
+                per_tangent = 30 * nd_bytes
+                primal = 30 * nd_bytes + (1 << 30)
+                c = max(1, int((0.85 * hbm - primal) // max(per_tangent, 1)))
+                self._grad_chunk_effective = max(
+                    1, min(int(self.grad_chunk_size), c)
+                )
+        elif self.differentiate and not self._pallas_active:
             # Engine-path jacobian chunk gate (round 4): the XLA-engine
             # fallback used to run the user's grad_chunk_size ungated — at
             # 2M paths x 29 dates the default chunk 8 compiled to a 64.2GB
@@ -1880,32 +1928,15 @@ class SimulationController:
                     len(self.simulation_timeline) * self.model.state_dim
                     * jnp.dtype(real_dtype()).itemsize * n
                 )
-                if 212 * plane_bytes > 0.95 * hbm:
+                # The 212x multiplier was calibrated on the 12-param
+                # north-star book; the outer jacfwd scales per-tangent
+                # buffers with n_params, so larger parameter vectors scale
+                # the gate proportionally (round-4 advisor finding).
+                n_params = max(1, len(self.model.initial_params()))
+                mult = 212.0 * max(1.0, n_params / 12.0)
+                if mult * plane_bytes > 0.95 * hbm:
                     self._grad_chunk_effective = 1
                     self.remat_paths = True
-        # Streaming metric pipeline (round-5): exposure/netting/metric
-        # reductions fold INSIDE the path scan, so no [rows, N] or [T_exp, N]
-        # array is ever resident — the 8-16M-path-per-chip enabler for
-        # exposure books (api/streaming_metrics.py).  auto-on for eligible
-        # books whenever the streaming engine is engaged; it computes the
-        # same formulas through the same fixed-tree reductions.
-        self._metric_stream = None
-        if self.metric_streaming is not False:
-            from montecarlo_risk_engine_tpu.api.streaming_metrics import (
-                MetricStreamExecutor,
-                metric_stream_ineligibility,
-            )
-
-            reason = metric_stream_ineligibility(self)
-            if reason is None:
-                self._metric_stream = MetricStreamExecutor(self)
-                logger.info("streaming metric pipeline: ON")
-            elif self.metric_streaming is True:
-                raise ValueError(
-                    f"metric_streaming=True but the book is ineligible: {reason}"
-                )
-            else:
-                logger.info("streaming metric pipeline: off (%s)", reason)
         if self._emission_schedule is not None and self.qmc_bridge:
             n = max(self.num_paths_mainsim, self.num_paths_presim)
             logger.warning(
@@ -2160,6 +2191,41 @@ class SimulationController:
             )
         return eligible
 
+    _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "would exceed memory",
+                    "Out of memory", "exceeds the maximum",
+                    # the remote-compile relay reports a compiler-subprocess
+                    # OOM as an opaque HTTP 500; retrying smaller is safe and
+                    # the original error still propagates if healing runs out
+                    "remote_compile: HTTP 500")
+
+    def _heal_after_oom(self, exc: Exception) -> bool:
+        """Adjust the program after a compile/runtime OOM; False = give up.
+
+        Order: halve the jacobian tangent chunk while it is > 1, then enable
+        path rematerialisation.  Resets the jitted-executable cache so the
+        next attempt re-traces with the new settings.
+        """
+        msg = str(exc)
+        if not any(m in msg for m in self._OOM_MARKERS):
+            return False
+        healed = None
+        if self.differentiate and self._grad_chunk_effective > 1:
+            self._grad_chunk_effective = max(1, self._grad_chunk_effective // 2)
+            healed = f"tangent chunk -> {self._grad_chunk_effective}"
+        elif not self.remat_paths:
+            self.remat_paths = True
+            healed = "path rematerialisation ON"
+        if healed is None:
+            return False
+        logger.warning(
+            "device memory exhausted during compile/run; auto-healing: %s "
+            "(numerically identical, retrying)", healed,
+        )
+        self._jitted_values = None
+        self._jitted_grads = None
+        self._jitted_hessian_row = None
+        return True
+
     def run_simulation(self, profile_dir: Optional[str] = None) -> SimulationResults:
         """Run the pipeline; optionally capture a device profile.
 
@@ -2185,27 +2251,40 @@ class SimulationController:
             )
             self._decide_streaming()
         params = tuple(self.model.initial_params())
-        self._build_jitted(params)
 
-        t1 = time.perf_counter()
-        grads = None
-        hessians = None
-        if self.differentiate:
-            # The jacobian program's primal IS the valuation: one program
-            # returns (values, errors, rows), so the separate values
-            # executable never runs on differentiated books (one full
-            # forward saved per run — see the jacobian drivers).
-            values, errors, grads = self._jitted_grads(params)
-            jax.block_until_ready(values)
-            t2 = time.perf_counter()
-            jax.block_until_ready(grads)
-            if self.requires_higher_order_derivatives:
-                hessians = self._run_hessians(params)
-                jax.block_until_ready(hessians)
-        else:
-            values, errors = self._jitted_values(params)
-            values.block_until_ready()
-            t2 = time.perf_counter()
+        # Compile-OOM auto-heal (round-5, verdict #4): the memory gates give
+        # a measured-model FIRST GUESS, but the ground truth is the compile
+        # itself — on an AOT allocation failure, narrow the tangent chunk,
+        # then enable path rematerialisation, then give up.  Each retry is
+        # numerically identical (chunking/remat change schedule, not math);
+        # the cost of a wrong optimistic guess is one failed compile, never
+        # a silently slower program or a hand-tuned device table.
+        for _heal_attempt in range(8):
+            self._build_jitted(params)
+            t1 = time.perf_counter()
+            grads = None
+            hessians = None
+            try:
+                if self.differentiate:
+                    # The jacobian program's primal IS the valuation: one
+                    # program returns (values, errors, rows), so the separate
+                    # values executable never runs on differentiated books
+                    # (one full forward saved per run — see the drivers).
+                    values, errors, grads = self._jitted_grads(params)
+                    jax.block_until_ready(values)
+                    t2 = time.perf_counter()
+                    jax.block_until_ready(grads)
+                    if self.requires_higher_order_derivatives:
+                        hessians = self._run_hessians(params)
+                        jax.block_until_ready(hessians)
+                else:
+                    values, errors = self._jitted_values(params)
+                    values.block_until_ready()
+                    t2 = time.perf_counter()
+                break
+            except Exception as e:  # noqa: BLE001 - filtered below
+                if not self._heal_after_oom(e):
+                    raise
         t3 = time.perf_counter()
 
         # Rebuild the nested result structure from the flat vectors.

@@ -323,3 +323,96 @@ def test_analytic_exposure_chunked_equals_single_chunk(monkeypatch):
     chunked = run()
     for a, b in zip(base, chunked):
         assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
+
+
+def test_coupon_batch_pv_matches_per_product():
+    """CouponBatch cashflows (fixed bond, FRN, payer/receiver swaps) must
+    reproduce the per-product compute_normalized_cashflows path to roundoff
+    — identical event amounts, LIBOR rows and numeraire deflation."""
+    from montecarlo_risk_engine_tpu import Bond, InterestRateSwap, IRSType, VasicekModel
+
+    def build(batch):
+        model = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                             volatility=0.012, asset_id="r")
+        prods = [
+            Bond(0.0, 2.0, notional=100.0, tenor=0.5, pays_notional=True,
+                 fixed_rate=0.04, asset_id="r"),
+            Bond(0.0, 1.75, notional=50.0, tenor=0.5, pays_notional=True,
+                 fixed_rate=None, asset_id="r"),   # FRN with stub
+            InterestRateSwap(0.0, 2.0, notional=10.0, fixed_rate=0.03,
+                             tenor_fixed=0.5, tenor_float=0.25,
+                             irs_type=IRSType.PAYER, asset_id="r"),
+            InterestRateSwap(0.0, 1.5, notional=10.0, fixed_rate=0.035,
+                             tenor_fixed=0.75, tenor_float=0.5,
+                             irs_type=IRSType.RECEIVER, asset_id="r"),
+        ]
+        return SimulationController(
+            netting_sets=[NettingSet(name="ns", products=prods)],
+            model=model,
+            risk_metrics=RiskMetrics(metrics=[PVMetric()]),
+            num_paths_mainsim=4096, num_paths_presim=0, num_steps=1,
+            simulation_scheme=SimulationScheme.EULER,
+            batch_products=batch,
+        )
+
+    c_b = build(True)
+    from montecarlo_risk_engine_tpu.api.batching import CouponBatch
+    assert any(isinstance(b, CouponBatch) for b in c_b._batches)
+    r_b = c_b.run_simulation()
+    r_p = build(False).run_simulation()
+    pv_b = float(r_b.get_results("ns", "pv", evaluation_idx=0))
+    pv_p = float(r_p.get_results("ns", "pv", evaluation_idx=0))
+    np.testing.assert_allclose(pv_b, pv_p, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(r_b.get_mc_error("ns", "pv", evaluation_idx=0)),
+        float(r_p.get_mc_error("ns", "pv", evaluation_idx=0)), rtol=1e-10)
+
+
+def test_coupon_batch_exposure_and_cva_match_per_product():
+    """Coupon exposure regression (future-cashflow sweep) vs the per-product
+    backward-induction fit: same targets, same basis — only the Gram
+    conditioning differs (RMS power sums vs per-column equilibration), so
+    exposures agree to fit tolerance and CVA/EPE to well inside MC error."""
+    from montecarlo_risk_engine_tpu import (
+        Bond, CIRPPModel, CVAMetric, EPEMetric, InterestRateSwap, IRSType,
+        ModelConfig, VasicekModel,
+    )
+
+    hazards = {1.0: 0.01, 3.0: 0.015, 5.0: 0.02}
+    cp = "cp"
+
+    def build(batch):
+        rates = VasicekModel(0.0, rate=0.03, mean=0.045, mean_reversion_speed=0.3,
+                             volatility=0.012, asset_id="r")
+        credit = CIRPPModel(0.0, asset_id=cp, hazard_rates=hazards, kappa=0.1,
+                            theta=0.01, volatility=0.02, y0=0.0001)
+        model = ModelConfig([rates, credit],
+                            inter_asset_correlation_matrix=[np.array([[0.25]])])
+        prods = [
+            InterestRateSwap(0.0, 2.0, notional=1.0, fixed_rate=0.03,
+                             tenor_fixed=0.5, tenor_float=0.5,
+                             irs_type=IRSType.PAYER, asset_id="r"),
+            Bond(0.0, 2.0, notional=1.0, tenor=0.5, pays_notional=True,
+                 fixed_rate=0.04, asset_id="r"),
+        ]
+        return SimulationController(
+            netting_sets=[NettingSet(name="ns", products=prods, counterparty_id=cp)],
+            model=model,
+            risk_metrics=RiskMetrics(
+                metrics=[CVAMetric(counterparty_id=cp, recovery_rate=0.4),
+                         EPEMetric()],
+                exposure_timeline=np.linspace(0.0, 2.0, 5)),
+            num_paths_mainsim=16384, num_paths_presim=16384, num_steps=1,
+            simulation_scheme=SimulationScheme.EULER,
+            batch_products=batch,
+        )
+
+    r_b = build(True).run_simulation()
+    r_p = build(False).run_simulation()
+    for i in range(5):
+        a = float(r_b.get_results("ns", "epe", evaluation_idx=i))
+        b = float(r_p.get_results("ns", "epe", evaluation_idx=i))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+    cva_b = float(r_b.get_results("ns", "cva[cp]", evaluation_idx=0))
+    cva_p = float(r_p.get_results("ns", "cva[cp]", evaluation_idx=0))
+    np.testing.assert_allclose(cva_b, cva_p, rtol=1e-4, atol=1e-9)

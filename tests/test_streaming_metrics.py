@@ -164,3 +164,21 @@ def test_greedy_slot_assignment():
     # staircase: two slots suffice
     n, slots = _greedy_slots([(0, 2, 0), (1, 3, 1), (3, 5, 3)])
     assert n == 2
+
+
+def test_oom_auto_heal_decision_logic():
+    """Compile-OOM auto-heal: chunk halves to 1, then remat engages, then it
+    gives up; non-OOM errors are never swallowed (round-4 verdict #4)."""
+    c = _build(True, differentiate=True)
+    c._grad_chunk_effective = 8
+    c._jitted_values = object()
+    oom = RuntimeError("RESOURCE_EXHAUSTED: Allocation would exceed memory")
+    assert c._heal_after_oom(oom)
+    assert c._grad_chunk_effective == 4 and c._jitted_values is None
+    assert c._heal_after_oom(oom) and c._grad_chunk_effective == 2
+    assert c._heal_after_oom(oom) and c._grad_chunk_effective == 1
+    assert not c.remat_paths
+    assert c._heal_after_oom(oom)      # chunk exhausted -> remat
+    assert c.remat_paths
+    assert not c._heal_after_oom(oom)  # nothing left -> re-raise
+    assert not c._heal_after_oom(RuntimeError("unrelated failure"))
