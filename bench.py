@@ -77,8 +77,11 @@ def main():
             @jax.jit
             def run_pallas(seed0):
                 def body(i, acc):
+                    # rows_per_block=64: measured optimum of the round-5
+                    # block-size sweep (BENCH_NOTES) — 15.0G vs 12.7G at 256.
                     states = heston_qe_paths(
-                        params, timeline, n_pallas, NUM_STEPS, seed=seed0 + i
+                        params, timeline, n_pallas, NUM_STEPS, seed=seed0 + i,
+                        rows_per_block=64,
                     )
                     return acc + states[-1].mean(axis=0)
                 return jax.lax.fori_loop(

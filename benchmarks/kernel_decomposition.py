@@ -134,6 +134,95 @@ def substep_qe(shape, log_s, v, dt, p):
                               kappa, theta)
 
 
+def _uniforms_batched3(shape):
+    """All three substep uniforms from ONE hardware-PRNG call: a single
+    [3*rows, 128] bit draw sliced into row bands (fewer, larger PRNG ops)."""
+    rows, lanes = shape
+    bits = pltpu.bitcast(pltpu.prng_random_bits((3 * rows, lanes)), jnp.int32)
+    top24 = jax.lax.shift_right_logical(bits, 8)
+    u = top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    return u[:rows], u[rows:2 * rows], u[2 * rows:]
+
+
+def substep_qe_batched_prng(shape, log_s, v, dt, p):
+    """Production QE math fed by ONE batched PRNG call per substep."""
+    import math as _m
+
+    u1, u2, u = _uniforms_batched3(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta_a = (2.0 * _m.pi) * u2
+    z_s, z_v = r * jnp.cos(theta_a), r * jnp.sin(theta_a)
+    sigma, rate, rho, kappa, theta = p[1], p[2], p[3], p[4], p[5]
+    return _heston_qe_substep(log_s, v, z_s, z_v, u, dt, sigma, rate, rho,
+                              kappa, theta)
+
+
+def _heston_qe_substep_algebra(log_s, v, z_s, z_v, u, dt, sigma, rate, rho,
+                               kappa, theta):
+    """Division-reduced QE substep (hard-branch path): the psi ratio is
+    eliminated — p = (s2-m2)/(s2+m2) replaces (psi-1)/(psi+1) and the branch
+    test psi > 1.5 becomes s2 > 1.5*m2, saving one full vector division per
+    substep; numerically identical up to f32 rounding."""
+    eps = 1e-12
+    ekt = jnp.exp(-kappa * dt)
+    one_m_ekt = 1.0 - ekt
+    sig2 = sigma * sigma
+    c_m = theta * one_m_ekt
+    c1 = sig2 * ekt * one_m_ekt / kappa
+    c2 = theta * sig2 * one_m_ekt * one_m_ekt / (2.0 * kappa)
+    k0 = -rho * kappa * theta / sigma * dt
+    k1 = (kappa * rho / sigma - 0.5) * dt - rho / sigma
+    k2 = rho / sigma
+    k3 = (1.0 - rho * rho) * dt
+    drift = rate * dt + k0
+
+    m = c_m + v * ekt
+    s2 = v * c1 + c2
+    m2 = m * m + eps
+    inv_psi = m2 / (s2 + eps)
+
+    tail = jnp.maximum(2.0 * inv_psi - 1.0, 0.0)
+    b2 = jnp.maximum(tail + jnp.sqrt(2.0 * inv_psi * tail), 0.0)
+    a = m / (1.0 + b2)
+    sb2_z = jnp.sqrt(b2) + z_v
+    v_quad = a * (sb2_z * sb2_z)
+
+    p = jnp.clip((s2 - m2) / (s2 + m2), 0.0, 1.0 - 1e-6)
+    one_m_p = 1.0 - p
+    v_tail = (
+        jnp.log(jnp.maximum(one_m_p, eps) / jnp.maximum(1.0 - u, eps))
+        * (m + eps) / (one_m_p + eps)
+    )
+    v_exp = jnp.where(u > p, v_tail, 0.0)
+    v_next = jnp.where(s2 > 1.5 * m2, v_exp, v_quad)
+
+    vol = jnp.sqrt(jnp.maximum(k3 * v, eps))
+    log_s_next = (log_s + drift) + k1 * v + k2 * v_next + vol * z_s
+    return log_s_next, v_next
+
+
+def substep_qe_algebra(shape, log_s, v, dt, p):
+    """Division-reduced QE substep, standard draws."""
+    z_s, z_v = _normal_pair(shape)
+    u = _uniforms(shape)
+    sigma, rate, rho, kappa, theta = p[1], p[2], p[3], p[4], p[5]
+    return _heston_qe_substep_algebra(log_s, v, z_s, z_v, u, dt, sigma, rate,
+                                      rho, kappa, theta)
+
+
+def substep_qe_combined(shape, log_s, v, dt, p):
+    """Batched PRNG + division-reduced math."""
+    import math as _m
+
+    u1, u2, u = _uniforms_batched3(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta_a = (2.0 * _m.pi) * u2
+    z_s, z_v = r * jnp.cos(theta_a), r * jnp.sin(theta_a)
+    sigma, rate, rho, kappa, theta = p[1], p[2], p[3], p[4], p[5]
+    return _heston_qe_substep_algebra(log_s, v, z_s, z_v, u, dt, sigma, rate,
+                                      rho, kappa, theta)
+
+
 def build(substep, k):
     """k independent full path generations in ONE jit program; the kernels
     differ by a baked seed offset so nothing CSEs; Mosaic compiles the kernel
@@ -196,6 +285,9 @@ def main():
         ("icdf", substep_icdf),
         ("qe-full", substep_qe),
         ("qe-icdf", substep_qe_icdf),
+        ("qe-batched-prng", substep_qe_batched_prng),
+        ("qe-algebra", substep_qe_algebra),
+        ("qe-combined", substep_qe_combined),
     ]
     for name, sub in variants:
         t1 = timeit(build(sub, 1), params_vec)

@@ -81,6 +81,14 @@ class HestonModel(Model):
     def uses_uniforms(self, scheme):
         return scheme == SimulationScheme.QE
 
+    # Preferred kernel block size: a v5e block-size sweep (rows
+    # 16/32/64/128/256/512, BENCH_NOTES round 5) measured 15.0G
+    # path-steps/s at 64 rows vs 12.7G at the old 256 — smaller output
+    # windows overlap the grid's compute with the emission DMA better.
+    # pick_rows_for_model reads this so the sharded and unsharded paths
+    # agree on the block layout (global-block seeding contract).
+    pallas_preferred_rows = 64
+
     def supports_pallas_paths(self, scheme):
         # The kernel mirrors both branch modes: hard indicators forward-only,
         # the fuzzy widths 0.3/0.5 when perform_smoothing (differentiation).
@@ -105,7 +113,8 @@ class HestonModel(Model):
         )
 
         rows = rows_per_block or pick_rows_per_block(
-            num_paths, outputs_per_path=2 * len(timeline))
+            num_paths, preferred=self.pallas_preferred_rows,
+            outputs_per_path=2 * len(timeline))
         if rows is None:
             raise ValueError(f"num_paths {num_paths} not blockable for Pallas")
         return heston_qe_paths(
@@ -127,7 +136,7 @@ class HestonModel(Model):
         )
 
         rows = rows_per_block or pick_rows_per_block(
-            num_paths,
+            num_paths, preferred=self.pallas_preferred_rows,
             outputs_per_path=self.pallas_emission_width(scheme, True)
             * len(timeline),
         )

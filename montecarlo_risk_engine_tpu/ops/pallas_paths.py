@@ -288,13 +288,19 @@ def pick_rows_per_block(num_paths: int, preferred: int = 256,
 
 
 def pick_rows_for_model(model, num_paths: int, outputs_per_path: int,
-                        preferred: int = 256):
+                        preferred: int = None):
     """rows_per_block for ``model``'s kernel, or None (XLA engine fallback).
 
     Time-chunked kernels (``model.pallas_time_chunked`` — the hybrid kernel,
     ops/pallas_hybrid.py) stream emissions to HBM chunk by chunk, so any
     timeline length fits at the preferred row count; single-pass kernels must
-    fit the whole trajectory block in scoped VMEM (pick_rows_per_block)."""
+    fit the whole trajectory block in scoped VMEM (pick_rows_per_block).
+
+    ``preferred`` defaults to the model's ``pallas_preferred_rows`` (so the
+    sharded and unsharded paths always agree on the block layout — the
+    global-block seeding contract, ops/pallas_shard.py)."""
+    if preferred is None:
+        preferred = getattr(model, "pallas_preferred_rows", 256)
     if getattr(model, "pallas_time_chunked", False):
         return preferred
     return pick_rows_per_block(num_paths, preferred=preferred,
