@@ -350,30 +350,30 @@ class TerminalBatch:
             expl, numeraire = self._exposure_grid_obs(tables, ctx, a)
             gram, col_scale, y = self._exposure_gram(expl, deg)
             # rhs[t,d,p] = sum_n y^d num[t,n] cf[p,n], masked to
-            # strictly-future cashflows (maturity > t).  Outer loop over the
-            # degree keeps a single running [T, N] weighted power; the
-            # [Pa, N] normalized-cashflow block is built in product chunks
-            # so the fit never materialises a payoff matrix beyond the
-            # chunk budget.
-            # The [T, Pc, N] product temp of the fixed-tree contraction costs
-            # T x the [Pc, N] cashflow block, so shrink the product chunk by
-            # the number of exposure dates to hold the same byte budget.
-            chunk_rhs = max(1, chunk // max(1, len(t_grid)))
+            # strictly-future cashflows (maturity > t).  The contraction
+            # loops over dates with a per-(t, d) fixed-tree sum of a single
+            # [Pc, N] product — bitwise shard-invariant AND no [T, Pc, N]
+            # temp: a vectorised-over-T variant materialised [57, 4, 1M]
+            # broadcast products whose jvp tangents (x4 copies, x2.2 TPU
+            # padding) OOM'd the 1M-path kernel-AD north star (round-5 AOT
+            # dump — jvp()/add_any at this line).
             cf_chunks = []
-            for lo in range(0, len(p_rows), chunk_rhs):
-                rows_c = p_rows[lo:lo + chunk_rhs]
+            for lo in range(0, len(p_rows), chunk):
+                rows_c = p_rows[lo:lo + chunk]
                 cf_chunks.append(self._subset(rows_c).cashflows(tables))
-            w = numeraire
-            rhs_rows = []
-            for d in range(deg):
-                if d:
-                    w = w * y
-                parts = [
-                    fixed_tree_sum(w[:, None, :] * cf_c[None, :, :], axis=2)
-                    for cf_c in cf_chunks
-                ]
-                rhs_rows.append(jnp.concatenate(parts, axis=-1))
-            rhs = jnp.stack(rhs_rows, axis=1)                   # [T, deg, Pa]
+            t_blocks = []
+            for t in range(len(t_grid)):
+                wd = numeraire[t]
+                per_deg = []
+                for d in range(deg):
+                    if d:
+                        wd = wd * y[t]
+                    per_deg.append(jnp.concatenate([
+                        fixed_tree_sum(wd[None, :] * cf_c, axis=1)
+                        for cf_c in cf_chunks
+                    ]))                                         # [Pa]
+                t_blocks.append(jnp.stack(per_deg))             # [deg, Pa]
+            rhs = jnp.stack(t_blocks)                           # [T, deg, Pa]
             mask = asarray(maturities[p_rows][None, :] > t_grid[:, None])
             rhs = rhs * mask[:, None, :]
             sol = jnp.linalg.solve(gram, rhs)                  # [T, deg, Pa]
@@ -407,18 +407,35 @@ class TerminalBatch:
                     c, ns_seg[p_rows], num_segments=ctx.num_netting_sets
                 )
             )(coeffs)                                          # [T, n_ns, deg]
-            # Horner over the degree axis: only [T, n_ns, N] + [T, N] live —
-            # never a [T, N, deg] basis stack (the round-4 HBM finding) and
-            # no deg-sized dot_general contracting dim (which would pad to
-            # 128 lanes on TPU, ops/noise.py rationale).
+            # Horner over the degree axis: never a [T, N, deg] basis stack
+            # (the round-4 HBM finding) and no deg-sized dot_general
+            # contracting dim (which would pad to 128 lanes on TPU,
+            # ops/noise.py rationale).  The Horner runs in DATE CHUNKS: a
+            # whole-grid [T, n_ns, N] accumulator times its jvp tangents
+            # (x deg iterations, x netting adds) put several 2GB HLO temps
+            # in the kernel-AD tangent sweep at 1M paths x 57 dates —
+            # chunking bounds the live set to the [Tc, n_ns, N] slice
+            # (round-5 regression found when CouponBatch routed the
+            # north-star swaps through this path).
             deg = coeffs_ns.shape[-1]
-            acc = jnp.broadcast_to(
-                coeffs_ns[:, :, deg - 1][:, :, None],
-                coeffs_ns.shape[:2] + (expl.shape[1],),
-            )
-            for d in range(deg - 2, -1, -1):
-                acc = acc * expl[:, None, :] + coeffs_ns[:, :, d][:, :, None]
-            total = total + acc / numeraire[:, None, :]
+            T = coeffs_ns.shape[0]
+            itemsize = jnp.dtype(real_dtype()).itemsize
+            slab = ctx.num_netting_sets * expl.shape[1] * itemsize
+            t_chunk = max(1, min(T, (self.CASHFLOW_CHUNK_BYTES // 4)
+                                 // max(1, slab)))
+            pieces = []
+            for lo in range(0, T, t_chunk):
+                hi = min(lo + t_chunk, T)
+                c_c = coeffs_ns[lo:hi]
+                e_c = expl[lo:hi]
+                acc = jnp.broadcast_to(
+                    c_c[:, :, deg - 1][:, :, None],
+                    c_c.shape[:2] + (e_c.shape[1],),
+                )
+                for d in range(deg - 2, -1, -1):
+                    acc = acc * e_c[:, None, :] + c_c[:, :, d][:, :, None]
+                pieces.append(acc / numeraire[lo:hi, None, :])
+            total = total + jnp.concatenate(pieces, axis=0)
         return total
 
     def _spot_matrix(self, tables: ObservableTables, asset_ids, tidx_mat, times_mat):
