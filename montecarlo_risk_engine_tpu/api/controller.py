@@ -1882,11 +1882,8 @@ class SimulationController:
                 nd_bytes = (
                     n * self.model.state_dim * jnp.dtype(real_dtype()).itemsize
                 )
-                per_tangent = 30 * nd_bytes
-                primal = 30 * nd_bytes + (1 << 30)
-                c = max(1, int((0.85 * hbm - primal) // max(per_tangent, 1)))
-                self._grad_chunk_effective = max(
-                    1, min(int(self.grad_chunk_size), c)
+                self._grad_chunk_effective = self._metric_stream_chunk(
+                    nd_bytes, hbm, int(self.grad_chunk_size)
                 )
         elif self.differentiate and not self._pallas_active:
             # Engine-path jacobian chunk gate (round 4): the XLA-engine
@@ -2190,6 +2187,20 @@ class SimulationController:
                 "that fits VMEM)"
             )
         return eligible
+
+    @staticmethod
+    def _metric_stream_chunk(nd_bytes: int, hbm_bytes: float, cap: int) -> int:
+        """Jacobian tangent chunk for metric-streaming books.
+
+        Peak model fitted on v5e boundary probes (BENCH_NOTES round 5:
+        4M-path chunk 6 and 8M-path chunk 2 fail to compile, chunk 4 / 1
+        fit): primal ~ 30 x [N, D] bytes + 1GB, per-tangent ~ 30 x [N, D]
+        bytes.  ``nd_bytes`` is the [num_paths, state_dim] plane in the
+        working dtype.  The compile-OOM auto-heal backstops optimism."""
+        per_tangent = 30 * nd_bytes
+        primal = 30 * nd_bytes + (1 << 30)
+        c = max(1, int((0.85 * hbm_bytes - primal) // max(per_tangent, 1)))
+        return max(1, min(int(cap), c))
 
     _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "would exceed memory",
                     "Out of memory", "exceeds the maximum",

@@ -182,3 +182,23 @@ def test_oom_auto_heal_decision_logic():
     assert c.remat_paths
     assert not c._heal_after_oom(oom)  # nothing left -> re-raise
     assert not c._heal_after_oom(RuntimeError("unrelated failure"))
+
+
+def test_metric_streaming_chunk_gate_scales_with_hbm():
+    """The metric-streaming jacobian chunk gate follows the measured peak
+    model and scales with the reported device memory: a 16GB v5e at 4M
+    paths (f32, 5-dim hybrid state) lands on chunk 4 and at 8M on chunk 1;
+    a 95GB v5p widens both to the user cap (round-4 verdict #4 — decision
+    logic pinned against two device kinds)."""
+    gate = SimulationController._metric_stream_chunk
+    v5e = 15.75 * 2**30
+    v5p = 95 * 2**30
+
+    def nd(paths):
+        return paths * 5 * 4  # f32 [N, D=5]
+
+    assert gate(nd(4 * 2**20), v5e, 8) == 4
+    assert gate(nd(8 * 2**20), v5e, 8) == 1
+    assert gate(nd(4 * 2**20), v5p, 8) == 8
+    assert gate(nd(8 * 2**20), v5p, 8) == 8
+    assert gate(nd(8 * 2**20), v5p, 12) == 12
