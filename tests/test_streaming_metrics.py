@@ -202,3 +202,98 @@ def test_metric_streaming_chunk_gate_scales_with_hbm():
     assert gate(nd(4 * 2**20), v5p, 8) == 8
     assert gate(nd(8 * 2**20), v5p, 8) == 8
     assert gate(nd(8 * 2**20), v5p, 12) == 12
+
+
+def test_streaming_multi_netting_set_mixed_collateral():
+    """Two heterogeneous netting sets — one MPoR-collateralized (cpA), one
+    threshold-banded (cpB) — through the fold: per-ns netting, the shared
+    collateral stash, the CVA counterparty gate (cpA metric must zero on
+    the cpB set) and per-ns metric tables all match the materialising
+    pipeline bitwise (observed exact on this book)."""
+    def build(ms):
+        rates = VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.3, volatility=0.012,
+                             asset_id="irs")
+        eq = BlackScholesModel(0.0, spot=100.0, rate=0.03, sigma=0.22,
+                               asset_id="eq")
+        credit = CIRPPModel(0.0, asset_id="cpA", hazard_rates=HAZ, kappa=0.1,
+                            theta=0.01, volatility=0.02, y0=0.0001)
+        model = ModelConfig([rates, eq, credit],
+                            inter_asset_correlation_matrix=[
+            np.array([[0.25]]), np.array([[0.4]]), np.array([[0.15]])])
+        ns1 = NettingSet(name="nsA", products=[
+            InterestRateSwap(0.0, 2.0, notional=1.0, fixed_rate=0.03,
+                             tenor_fixed=0.5, tenor_float=0.5,
+                             irs_type=IRSType.PAYER, asset_id="irs")],
+            counterparty_id="cpA", margin_period_of_risk=10 / 252)
+        ns2 = NettingSet(name="nsB", products=[
+            EuropeanOption(Equity("eq"), 1.5, 100.0, OptionType.CALL,
+                           asset_id="eq"),
+            InterestRateSwap(0.0, 1.5, notional=2.0, fixed_rate=0.028,
+                             tenor_fixed=0.5, tenor_float=0.5,
+                             irs_type=IRSType.RECEIVER, asset_id="irs")],
+            counterparty_id="cpB", threshold=0.05)
+        metrics = [CVAMetric(counterparty_id="cpA", recovery_rate=0.4),
+                   EPEMetric(), ENEMetric(), PFEMetric(0.95)]
+        return SimulationController(
+            netting_sets=[ns1, ns2], model=model,
+            risk_metrics=RiskMetrics(
+                metrics=metrics, exposure_timeline=np.linspace(0.0, 2.0, 5)),
+            num_paths_mainsim=8192, num_paths_presim=4096, num_steps=1,
+            simulation_scheme=SimulationScheme.EULER,
+            metric_streaming=ms, streaming=True)
+
+    r_s = build(True).run_simulation()
+    r_p = build(False).run_simulation()
+    for nsn in ("nsA", "nsB"):
+        for nm in ("cva[cpA]", "epe", "ene", "pfe[0.95]"):
+            a = np.atleast_1d(np.asarray(r_s.get_results(nsn, nm)))
+            b = np.atleast_1d(np.asarray(r_p.get_results(nsn, nm)))
+            np.testing.assert_array_equal(a, b, err_msg=f"{nsn}/{nm}")
+    # cpA CVA on the cpB netting set is counterparty-gated to zero
+    assert float(r_s.get_results("nsB", "cva[cpA]", evaluation_idx=0)) == 0.0
+
+
+@pytest.mark.parametrize("kw", [
+    dict(num_steps=3),
+    dict(num_steps=1, antithetic=True),
+    dict(num_steps=1, sampler="sobol"),
+], ids=["substeps", "antithetic", "sobol"])
+def test_streaming_fold_with_samplers_and_substeps_and_frn(kw):
+    """The fold composes with substep refinement, antithetic pairing and the
+    scrambled-Sobol sampler, on a book containing a CouponBatch FRN (float
+    coupons consume LIBOR rows through the event tables): ulp-level
+    agreement with the materialising pipeline."""
+    from montecarlo_risk_engine_tpu import Bond
+
+    def build(ms):
+        rates = VasicekModel(0.0, rate=0.03, mean=0.045,
+                             mean_reversion_speed=0.3, volatility=0.012,
+                             asset_id="irs")
+        credit = CIRPPModel(0.0, asset_id=CP, hazard_rates=HAZ, kappa=0.1,
+                            theta=0.01, volatility=0.02, y0=0.0001)
+        model = ModelConfig([rates, credit],
+                            inter_asset_correlation_matrix=[np.array([[0.25]])])
+        prods = [InterestRateSwap(0.0, 2.0, notional=1.0, fixed_rate=0.03,
+                                  tenor_fixed=0.5, tenor_float=0.5,
+                                  irs_type=IRSType.PAYER, asset_id="irs"),
+                 Bond(0.0, 2.0, notional=1.0, tenor=0.5, pays_notional=True,
+                      fixed_rate=None, asset_id="irs")]
+        ns = NettingSet(name="ns", products=prods, counterparty_id=CP,
+                        margin_period_of_risk=10 / 252)
+        return SimulationController(
+            netting_sets=[ns], model=model,
+            risk_metrics=RiskMetrics(
+                metrics=[CVAMetric(counterparty_id=CP, recovery_rate=0.4),
+                         EPEMetric(), PFEMetric(0.95)],
+                exposure_timeline=np.linspace(0.0, 2.0, 5)),
+            num_paths_mainsim=8192, num_paths_presim=4096,
+            simulation_scheme=SimulationScheme.EULER,
+            metric_streaming=ms, streaming=True, **kw)
+
+    r_s = build(True).run_simulation()
+    r_p = build(False).run_simulation()
+    for nm in (f"cva[{CP}]", "epe", "pfe[0.95]"):
+        a = np.atleast_1d(np.asarray(r_s.get_results("ns", nm)))
+        b = np.atleast_1d(np.asarray(r_p.get_results("ns", nm)))
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14, err_msg=nm)
